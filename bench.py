@@ -1,0 +1,169 @@
+"""Throughput benchmark: pairwise comparisons per second per chip.
+
+Generates a SARS-CoV-2-scale synthetic alignment (default 16384 seqs x
+29904 sites, low diversity + ambiguity codes), runs the full device
+counter sweep for the `raw` measure (upper triangle, all i<j tiles,
+including device->host counter transfer and exact f64 finalization), and
+prints ONE JSON line:
+
+    {"metric": ..., "value": pairs/s, "unit": "pairs/s", "vs_baseline": ...}
+
+`vs_baseline` compares against an implied 64-core CPU reference: the
+reference publishes no numbers (BASELINE.md), so the baseline is the
+measured single-core throughput of the same byte-compare site loop the
+reference runs (compiled -O3 -march=native, measures.rs:56-69 semantics),
+scaled to 64 cores.
+
+Environment knobs: BENCH_N (seqs), BENCH_L (sites), BENCH_MEASURE,
+BENCH_BACKEND (pallas|xla), BENCH_TILE_I/BENCH_TILE_J.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_alignment(n, width, seed=0):
+    """Low-diversity alignment: shared ancestor + ~40 mutations/seq,
+    sprinkled with Ns and gaps (SARS-CoV-2-like)."""
+    rng = np.random.default_rng(seed)
+    from distance_tpu.encoding import A, C, G, T, N, GAP
+
+    bases = np.array([A, C, G, T], dtype=np.uint8)
+    ancestor = rng.choice(bases, size=width)
+    mat = np.tile(ancestor, (n, 1))
+    n_mut = 40
+    rows = np.repeat(np.arange(n), n_mut)
+    cols = rng.integers(0, width, size=n * n_mut)
+    vals = rng.choice(bases, size=n * n_mut)
+    mat[rows, cols] = vals
+    # ~0.5% N / gaps
+    n_amb = int(0.005 * n * width / 100) * 100
+    rows = rng.integers(0, n, size=n_amb)
+    cols = rng.integers(0, width, size=n_amb)
+    mat[rows, cols] = np.where(rng.random(n_amb) < 0.8, N, GAP).astype(np.uint8)
+    return mat
+
+
+def cpu_baseline_pairs_per_s(mat, width, budget_s=2.0):
+    """Single-core byte-loop throughput x 64 (implied 64-core reference)."""
+    from distance_tpu._native import get_lib
+    import ctypes
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    sub = np.ascontiguousarray(mat[: min(512, mat.shape[0])])
+    n = sub.shape[0]
+    # time growing pair batches until the budget is spent
+    pairs_done = 0
+    t0 = time.perf_counter()
+    batch = 256
+    while time.perf_counter() - t0 < budget_s:
+        pi = np.random.randint(0, n, size=batch).astype(np.int32)
+        pj = np.random.randint(0, n, size=batch).astype(np.int32)
+        lib.dt_cpu_raw_pairs(
+            sub.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, width,
+            pi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            batch,
+        )
+        pairs_done += batch
+    dt = time.perf_counter() - t0
+    per_core = pairs_done / dt
+    return per_core * 64.0
+
+
+def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
+    """Full upper-triangle counter sweep + finalize; returns (pairs/s, s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distance_tpu.engine import _BlockEngine
+    from distance_tpu.finalize import finalize_block
+
+    n, width = mat.shape
+    eng = _BlockEngine(measure, backend, ti, tj, width)
+    dev = eng.prepare(mat, max(ti, tj))
+    plan = eng.plan
+
+    # warm up / compile
+    eng.to_host(eng.block(dev, dev, 0, 0, ti, tj))
+
+    t0 = time.perf_counter()
+    total_pairs = 0
+    for i0 in range(0, n - 1, ti):
+        si = min(ti, n - i0)
+        handles = [
+            (j0, eng.block(dev, dev, i0, j0, ti, tj))
+            for j0 in range(i0, n, tj)
+        ]
+        span = handles[-1][0] + tj - i0
+        strip = np.zeros((len(plan.counters), ti, span), dtype=np.int32)
+        for j0, h in handles:
+            blk = eng.to_host(h)
+            strip[:, : blk.shape[1], j0 - i0 : j0 - i0 + blk.shape[2]] = blk
+        # flatten upper-triangle pairs of this strip and finalize
+        local, cols = [], []
+        for li in range(si):
+            i = i0 + li
+            js = np.arange(i + 1, n, dtype=np.int64)
+            local.append(np.full(js.shape, li, dtype=np.int64))
+            cols.append(js)
+        local = np.concatenate(local) if local else np.zeros(0, np.int64)
+        cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+        counters = {
+            name: strip[k, local, cols - i0]
+            for k, name in enumerate(plan.counters)
+        }
+        finalize_block(measure, counters)
+        total_pairs += local.shape[0]
+    dt = time.perf_counter() - t0
+    return total_pairs / dt, dt, total_pairs
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "16384"))
+    width = int(os.environ.get("BENCH_L", "29904"))
+    measure = os.environ.get("BENCH_MEASURE", "raw")
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "xla")
+    ti = int(os.environ.get("BENCH_TILE_I", "512" if on_tpu else "256"))
+    tj = int(os.environ.get("BENCH_TILE_J", "2048" if on_tpu else "512"))
+    if not on_tpu:
+        n = min(n, int(os.environ.get("BENCH_N", "2048")))
+
+    mat = make_alignment(n, width)
+    baseline = cpu_baseline_pairs_per_s(mat, width)
+
+    pairs_per_s, dt, total_pairs = device_sweep_pairs_per_s(
+        mat, measure, backend, ti, tj
+    )
+
+    result = {
+        "metric": f"pairwise comparisons/s/chip ({measure}, {n} seqs x {width} sites, upper triangle + exact finalize)",
+        "value": round(pairs_per_s, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / baseline, 2) if baseline else None,
+        "detail": {
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+            "total_pairs": total_pairs,
+            "sweep_seconds": round(dt, 3),
+            "site_comparisons_per_s": round(pairs_per_s * width, 1),
+            "implied_64core_cpu_baseline_pairs_per_s": round(baseline, 1)
+            if baseline
+            else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

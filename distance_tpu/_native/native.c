@@ -1,0 +1,217 @@
+/* Native host runtime for distance_tpu.
+ *
+ * The hot host-side loops of the engine live here, mirroring where the
+ * reference keeps native code (the whole reference is native Rust):
+ *
+ *   - glibc log applied over arrays (exact-parity f64 finalization: Rust's
+ *     f64::ln lowers to the same libm log on linux-gnu);
+ *   - TSV row formatting with Rust-compatible float formatting
+ *     ("{:.12}" fixed 12 decimals, "NaN"/"inf"/"-inf" spellings,
+ *     /root/reference/src/lib.rs:626-634);
+ *   - FASTA parse + Paradis encode for the streaming path.
+ *
+ * Built as a plain shared library, loaded via ctypes (no pybind11 in the
+ * image).  Everything here is deterministic and thread-free; parallelism
+ * belongs to the device.
+ */
+
+#include <math.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* Exact finalization helpers                                          */
+/* ------------------------------------------------------------------ */
+
+void dt_log_inplace(double *x, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        x[i] = log(x[i]);
+    }
+}
+
+void dt_sqrt_inplace(double *x, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        x[i] = sqrt(x[i]);
+    }
+}
+
+/* raw: n/d with 0/0 => NaN (IEEE), measures.rs:56-69 */
+void dt_finalize_raw(const int32_t *diff, const int32_t *same, double *out,
+                     int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        double nd = (double)diff[i];
+        double dd = (double)(same[i] + diff[i]);
+        out[i] = nd / dd;
+    }
+}
+
+/* jc69: -0.75 * ln(1 - (4/3) p), measures.rs:72-77 */
+void dt_finalize_jc69(const int32_t *diff, const int32_t *same, double *out,
+                      int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        double p = (double)diff[i] / (double)(same[i] + diff[i]);
+        out[i] = -0.75 * log(1.0 - (4.0 / 3.0) * p);
+    }
+}
+
+/* k80: -0.5 * ln((1 - 2P - Q) * sqrt(1 - 2Q)), measures.rs:80-113 */
+void dt_finalize_k80(const int32_t *same, const int32_t *ts,
+                     const int32_t *tv, double *out, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        double count_l = (double)(same[i] + ts[i] + tv[i]);
+        double P = (double)ts[i] / count_l;
+        double Q = (double)tv[i] / count_l;
+        out[i] = -0.5 * log((1.0 - 2.0 * P - Q) * sqrt(1.0 - 2.0 * Q));
+    }
+}
+
+/* tn93, measures.rs:116-193.  Inputs per pair: counters same/kk/p1/p2 and
+ * the two records' (A,T,G,C) tallies.  kk == count_L; count_d = kk - same. */
+void dt_finalize_tn93(const int32_t *same, const int32_t *kk,
+                      const int32_t *p1c, const int32_t *p2c,
+                      const int64_t *qc, /* (n,4) A,T,G,C query side */
+                      const int64_t *tc, /* (n,4) A,T,G,C target side */
+                      double *out, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+        double qa = (double)qc[i * 4 + 0], qt = (double)qc[i * 4 + 1];
+        double qg = (double)qc[i * 4 + 2], qcc = (double)qc[i * 4 + 3];
+        double ta = (double)tc[i * 4 + 0], tt = (double)tc[i * 4 + 1];
+        double tg = (double)tc[i * 4 + 2], tcc = (double)tc[i * 4 + 3];
+        double L = qa + qt + qg + qcc + ta + tt + tg + tcc;
+
+        double g_A = (ta + qa) / L;
+        double g_C = (tcc + qcc) / L;
+        double g_G = (tg + qg) / L;
+        double g_T = (tt + qt) / L;
+        double g_R = (ta + qa + tg + qg) / L;
+        double g_Y = (tcc + qcc + tt + qt) / L;
+
+        double k1 = 2.0 * g_A * g_G / g_R;
+        double k2 = 2.0 * g_T * g_C / g_Y;
+        double k3 = 2.0 * (g_R * g_Y - g_A * g_G * g_Y / g_R -
+                           g_T * g_C * g_R / g_Y);
+
+        double count_L = (double)kk[i];
+        int32_t count_d = kk[i] - same[i];
+        double P1 = (double)p1c[i] / count_L;
+        double P2 = (double)p2c[i] / count_L;
+        double Q = (double)(count_d - (p1c[i] + p2c[i])) / count_L;
+
+        double w1 = 1.0 - P1 / k1 - Q / (2.0 * g_R);
+        double w2 = 1.0 - P2 / k2 - Q / (2.0 * g_Y);
+        double w3 = 1.0 - Q / (2.0 * g_R * g_Y);
+
+        double d = -k1 * log(w1) - k2 * log(w2) - k3 * log(w3);
+        if (d == 0.0) {
+            d = 0.0; /* normalize -0.0, measures.rs:188-190 */
+        }
+        out[i] = d;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* TSV formatting                                                      */
+/* ------------------------------------------------------------------ */
+
+/* Format one f64 the way Rust's "{:.12}" does: fixed 12 decimals
+ * (correctly rounded, matching glibc printf), specials spelled
+ * NaN / inf / -inf.  Returns bytes written (no NUL guarantees needed). */
+static int fmt_f64(char *buf, double v) {
+    if (isnan(v)) {
+        memcpy(buf, "NaN", 3);
+        return 3;
+    }
+    if (isinf(v)) {
+        if (v < 0) {
+            memcpy(buf, "-inf", 4);
+            return 4;
+        }
+        memcpy(buf, "inf", 3);
+        return 3;
+    }
+    return snprintf(buf, 352, "%.12f", v);
+}
+
+/* Emit TSV rows "id1\tid2\tvalue\n" for a rectangular block of pairs.
+ *
+ * ids are passed as one concatenated byte blob + offsets (n+1 entries).
+ * ``pair_i``/``pair_j`` give, per row to emit, the index into the two id
+ * tables; ``values`` the distances in emission order.  Output is appended
+ * into ``out`` (caller-sized); returns bytes written, or -1 if the buffer
+ * would overflow. */
+int64_t dt_format_rows_f64(const char *ids1, const int64_t *off1,
+                           const char *ids2, const int64_t *off2,
+                           const int32_t *pair_i, const int32_t *pair_j,
+                           const double *values, int64_t n_rows, char *out,
+                           int64_t out_cap) {
+    int64_t w = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t i = pair_i[r], j = pair_j[r];
+        int64_t l1 = off1[i + 1] - off1[i];
+        int64_t l2 = off2[j + 1] - off2[j];
+        if (w + l1 + l2 + 2 + 360 > out_cap) return -1;
+        memcpy(out + w, ids1 + off1[i], l1);
+        w += l1;
+        out[w++] = '\t';
+        memcpy(out + w, ids2 + off2[j], l2);
+        w += l2;
+        out[w++] = '\t';
+        w += fmt_f64(out + w, values[r]);
+        out[w++] = '\n';
+    }
+    return w;
+}
+
+/* ------------------------------------------------------------------ */
+/* CPU reference byte loop (baseline proxy for benchmarking)           */
+/* ------------------------------------------------------------------ */
+
+/* The reference's `raw` site loop (measures.rs:56-69) over `n_pairs`
+ * consecutive (i, j) pairs of rows of an (n, L) matrix, accumulating a
+ * checksum so the loop cannot be optimized away.  Used by bench.py to
+ * measure what a per-core CPU implementation achieves on this host. */
+int64_t dt_cpu_raw_pairs(const uint8_t *mat, int64_t n, int64_t L,
+                         const int32_t *pi, const int32_t *pj,
+                         int64_t n_pairs) {
+    int64_t sink = 0;
+    for (int64_t p = 0; p < n_pairs; p++) {
+        const uint8_t *a = mat + (int64_t)pi[p] * L;
+        const uint8_t *b = mat + (int64_t)pj[p] * L;
+        int64_t d = 0, nn = 0;
+        for (int64_t i = 0; i < L; i++) {
+            if ((a[i] & 8) == 8 && a[i] == b[i]) {
+                d += 1;
+            } else if ((a[i] & b[i]) < 16) {
+                d += 1;
+                nn += 1;
+            }
+        }
+        sink += d + 31 * nn;
+    }
+    return sink;
+}
+
+int64_t dt_format_rows_i64(const char *ids1, const int64_t *off1,
+                           const char *ids2, const int64_t *off2,
+                           const int32_t *pair_i, const int32_t *pair_j,
+                           const int64_t *values, int64_t n_rows, char *out,
+                           int64_t out_cap) {
+    int64_t w = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t i = pair_i[r], j = pair_j[r];
+        int64_t l1 = off1[i + 1] - off1[i];
+        int64_t l2 = off2[j + 1] - off2[j];
+        if (w + l1 + l2 + 2 + 32 > out_cap) return -1;
+        memcpy(out + w, ids1 + off1[i], l1);
+        w += l1;
+        out[w++] = '\t';
+        memcpy(out + w, ids2 + off2[j], l2);
+        w += l2;
+        out[w++] = '\t';
+        w += snprintf(out + w, 24, "%lld", (long long)values[r]);
+        out[w++] = '\n';
+    }
+    return w;
+}

@@ -1,0 +1,133 @@
+"""Command-line interface.
+
+Reproduces the reference's clap surface (/root/reference/src/lib.rs:68-131
+and src/main.rs): flags ``-i -s -m -o -t -b -l``, one or two positional
+inputs, stdin default, exit codes (errors print Debug-style to stderr and
+exit 1; ``-l`` prints licence info and exits 0; broken stdout pipe exits 0
+silently).  Adds one engine-specific extension: ``--backend`` to force the
+compute path (auto/numpy/xla/pallas).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from distance_tpu.fastaio import DistanceError
+
+USAGE = """All sequences across all input files must be the same length.
+
+       distance alignment.fasta
+       cat alignment.fasta | distance
+       distance alignment.fasta -o distances.tsv
+       distance -t 8 -m jc69 alignment.fasta -o jc69.tsv
+       distance alignment1.fasta alignment2.fasta > distances2.tsv
+       distance -i smallAlignment.fasta -s bigAlignment.fasta -o distances3.tsv
+       cat bigAlignment.fasta | distance smallAlignment.fasta -s - > distances3.tsv
+"""
+
+LICENCES = """
+distance_tpu is a from-scratch TPU-native implementation of the
+capabilities of `distance` (Copyright 2022, Ben Jackson, LGPL-2), built on
+JAX/XLA.  It contains no code from that project.
+
+This program makes use of the bitwise coding scheme for nucleotides by
+Emmanuel Paradis, as used in ape (Paradis, 2004).  Equation (7) in Tamura
+and Nei (1993) is rearranged according to ape's source code."""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="distance",
+        description=(
+            "Calculate genetic distances within/between fasta-format"
+            " alignments of DNA sequences"
+        ),
+        usage=USAGE,
+    )
+    p.add_argument(
+        "-i", "--input", nargs="*", default=None,
+        help=(
+            "One or two input alignment files in fasta format. Loaded into"
+            " memory. This flag can be omitted and the files passed as"
+            " positional arguments"
+        ),
+    )
+    p.add_argument("input_pos_1", nargs="?", default=None, help=argparse.SUPPRESS)
+    p.add_argument("input_pos_2", nargs="?", default=None, help=argparse.SUPPRESS)
+    p.add_argument(
+        "-s", "--stream", default=None,
+        help=(
+            "One input alignment file in fasta format. Streamed from disk"
+            ' (or stdin using "-s -"). Requires exactly one file also be'
+            " loaded"
+        ),
+    )
+    p.add_argument(
+        "-m", "--measure", default="raw",
+        choices=["n", "n_high", "raw", "jc69", "k80", "tn93"],
+        help="Which distance measure to use",
+    )
+    p.add_argument(
+        "-o", "--output", default=None,
+        help=(
+            "Output file in tab-separated-value format. Omit this option to"
+            " print to stdout"
+        ),
+    )
+    p.add_argument(
+        "-t", "--threads", type=int, default=None,
+        help=(
+            "How many threads to spin up for pairwise comparisons. Omitting"
+            " this option spins up the number of available CPUs"
+        ),
+    )
+    p.add_argument(
+        "-b", "--batchsize", type=int, default=1,
+        help="Try setting this >(>) 1 to tune the workload per thread",
+    )
+    p.add_argument(
+        "-l", "--licenses", action="store_true",
+        help="Print licence information and exit",
+    )
+    p.add_argument(
+        "--backend", default="auto",
+        choices=["auto", "numpy", "xla", "pallas"],
+        help="Compute backend (engine extension; default auto)",
+    )
+    p.add_argument(
+        "-V", "--version", action="version",
+        version="distance-tpu 0.1.0",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.licenses:
+        print(LICENCES)
+        return 0
+    if args.input is not None and len(args.input) > 2:
+        print(
+            'Error: Message("-i/--input takes at most two files")',
+            file=sys.stderr,
+        )
+        return 1
+
+    from distance_tpu.engine import run, set_up
+
+    try:
+        setup = set_up(args)
+        run(setup)
+    except DistanceError as e:
+        # The reference prints the error Debug-style from main and exits 1
+        # (src/main.rs:4-16 with DistanceError's empty Display).
+        print(f'Error: Message("{e}")', file=sys.stderr)
+        return 1
+    except BrokenPipeError:
+        return 0
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

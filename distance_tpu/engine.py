@@ -1,0 +1,459 @@
+"""Run orchestration: setup, tiled pairwise sweeps, ordered emission.
+
+TPU-native counterpart of the reference's thread pipeline
+(/root/reference/src/lib.rs:269-498).  Where the reference streams pair
+batches through a worker pool over crossbeam channels, this engine:
+
+* uploads the packed alignment once to HBM;
+* sweeps the pair-index space in (strip x block) tiles, each tile one
+  device dispatch of the MXU counter GEMM (ops/);
+* relies on JAX async dispatch for pipelining (the bounded-channel
+  backpressure analog is the bounded number of in-flight tiles);
+* finalizes counters to f64 on host (exact glibc libm) and emits TSV rows
+  in canonical order — row-major upper triangle within one alignment,
+  file1 x file2 row-major between two, loaded-major per streamed record in
+  stream mode (matching lib.rs:502-596, 322-333).
+
+Output bytes are identical regardless of tile sizes or device count — the
+determinism oracle the reference enforces with its reorder buffer.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import sys
+from dataclasses import dataclass, field
+from typing import BinaryIO, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from distance_tpu import measures as measures_mod
+from distance_tpu.fastaio import (
+    Alignment,
+    DistanceError,
+    consensus as consensus_fn,
+    load_fastas,
+    stream_fasta,
+)
+from distance_tpu.finalize import INT_MEASURES, finalize_block
+from distance_tpu.ops.features import CounterPlan, features_device, get_plan
+from distance_tpu.utils.timing import phase_timer
+from distance_tpu.writer import TsvWriter
+
+# Pair-tile sizes: strips of TILE_I rows against blocks of TILE_J columns.
+TILE_I = 256
+TILE_J = 2048
+# Below this many pair-sites the NumPy path beats device dispatch+compile.
+SMALL_PROBLEM_PAIRSITES = 5e7
+
+
+@dataclass
+class Setup:
+    """Resolved run configuration (analog of lib.rs:133-160)."""
+
+    loaded: List[Alignment]
+    streamed: Optional[BinaryIO]
+    writer: TsvWriter
+    measure: str
+    n_threads: int
+    batchsize: int
+    backend: str = "auto"  # auto | numpy | xla | pallas
+    consensus: Optional[np.ndarray] = None
+    tile_i: int = TILE_I
+    tile_j: int = TILE_J
+
+
+def set_up(args) -> Setup:
+    """Build a Setup from parsed CLI arguments (argparse namespace).
+
+    Mirrors /root/reference/src/lib.rs:162-267: input resolution
+    (positional xor -i, stdin default), stream handling, measure
+    precompute (consensus for ``n``, base counts for ``tn93``), writer and
+    thread/batch settings.
+    """
+    pos_inputs = [p for p in (args.input_pos_1, args.input_pos_2) if p]
+    flag_inputs = list(args.input or [])
+    if pos_inputs and flag_inputs:
+        raise DistanceError(
+            "For loading input files, don't use both positional arguments"
+            " and the -i/--input flag"
+        )
+    consolidated = flag_inputs + pos_inputs
+
+    handles: List[BinaryIO] = []
+    if not consolidated:
+        handles.append(sys.stdin.buffer)
+    for path in consolidated:
+        handles.append(open(path, "rb"))
+
+    streamed: Optional[BinaryIO] = None
+    if args.stream is not None:
+        if len(consolidated) != 1:
+            raise DistanceError(
+                "If you stream one file, you must also provide exactly one"
+                " other file to be loaded"
+            )
+        streamed = sys.stdin.buffer if args.stream == "-" else open(args.stream, "rb")
+
+    with phase_timer("load+encode"):
+        loaded = load_fastas(handles)
+
+    cons = None
+    if args.measure == "n":
+        # One-time host reduction (lib.rs:223-231).  The dense TPU kernel
+        # does not need per-record difference lists; the consensus is kept
+        # for the streamed-mode contract and the sparse host path.
+        with phase_timer("consensus"):
+            cons = consensus_fn(loaded)
+    elif args.measure == "tn93":
+        with phase_timer("count_bases"):
+            for aln in loaded:
+                aln.count_bases()
+
+    out = sys.stdout.buffer if args.output is None else open(args.output, "wb")
+
+    if args.threads is None:
+        import os
+
+        n_threads = os.cpu_count() or 1
+    else:
+        n_threads = max(1, args.threads)
+
+    return Setup(
+        loaded=loaded,
+        streamed=streamed,
+        writer=TsvWriter(out),
+        measure=args.measure,
+        n_threads=n_threads,
+        batchsize=max(1, args.batchsize),
+        backend=getattr(args, "backend", "auto") or "auto",
+        consensus=cons,
+    )
+
+
+def run(setup: Setup) -> None:
+    """Dispatch to the in-memory or streamed driver (lib.rs:490-498)."""
+    try:
+        if setup.streamed is not None:
+            _run_stream(setup)
+        else:
+            _run_load(setup)
+        setup.writer.flush()
+    finally:
+        try:
+            setup.writer.flush()
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Counter block computation (backend dispatch)
+# ---------------------------------------------------------------------------
+
+def _counters_numpy(x: np.ndarray, y: np.ndarray, plan: CounterPlan) -> np.ndarray:
+    """Exact NumPy fallback of the counter GEMM (small problems, tests)."""
+    fx = features_device(x, plan, "f", np, np.int32)  # (R, m, L)
+    gy = features_device(y, plan, "g", np, np.int32)
+    outs = []
+    for name in plan.counters:
+        lo, hi = plan.slice_of(name)
+        outs.append(np.einsum("rml,rnl->mn", fx[lo:hi], gy[lo:hi]))
+    return np.stack(outs).astype(np.int32)
+
+
+def _resolve_backend(backend: str, pairsites: float) -> str:
+    if backend != "auto":
+        return backend
+    if pairsites <= SMALL_PROBLEM_PAIRSITES:
+        return "numpy"
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
+                  packed: bool = False):
+    """Jitted (mat1, mat2, i0, j0) -> counter block.
+
+    Returns (G, ti, tj) int32, or the packed representation (see
+    ops/packing.py) when ``packed`` — packing runs on device so the
+    device->host transfer shrinks to 2-8 bytes per pair.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from distance_tpu.ops.packing import pack_device
+
+    plan = get_plan(measure)
+    if backend == "pallas":
+        from distance_tpu.ops.pairwise_pallas import counters_pallas as kern
+    else:
+        from distance_tpu.ops.pairwise_xla import counters_xla as kern
+
+    def f(m1, m2, i0, j0):
+        x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
+        y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
+        c = kern(x, y, plan)
+        if packed:
+            return pack_device(measure, c, jnp)
+        return c
+
+    return jax.jit(f)
+
+
+class _BlockEngine:
+    """Computes counter blocks for (strip, block) tile pairs.
+
+    Handles padding, device upload, and backend selection; returns numpy
+    int32 arrays.  The same object serves square, rectangle, and stream
+    sweeps.
+    """
+
+    def __init__(self, measure: str, backend: str, ti: int, tj: int,
+                 width: int = 0):
+        self.measure = measure
+        self.plan = get_plan(measure)
+        self.backend = backend
+        self.ti = ti
+        self.tj = tj
+        from distance_tpu.ops.packing import PACK_LIMIT
+
+        self.packed = backend != "numpy" and 0 < width < PACK_LIMIT
+
+    def prepare(self, matrix: np.ndarray, max_block: int) -> object:
+        """Pad and (for device backends) upload a sequence matrix.
+
+        ``max_block`` is the largest tile size whose slices must stay in
+        bounds; rows are padded so any aligned slice fits.
+        """
+        n, width = matrix.shape
+        if self.backend == "numpy":
+            return matrix
+        tile = max_block
+        n_strips = max(1, -(-n // self.ti))
+        n_pad = (n_strips - 1) * self.ti + max(tile, self.ti)
+        n_pad = max(n_pad, tile)
+        l_pad = -(-max(width, 1) // 128) * 128
+        padded = np.zeros((n_pad, l_pad), dtype=np.uint8)
+        padded[:n, :width] = matrix
+        import jax.numpy as jnp
+
+        return jnp.asarray(padded)
+
+    def block(self, m1, m2, i0: int, j0: int, ti: int, tj: int):
+        """Dispatch one (ti, tj) counter block; returns a lazy handle."""
+        if self.backend == "numpy":
+            x = m1[i0 : i0 + ti]
+            y = m2[j0 : j0 + tj]
+            return _counters_numpy(x, y, self.plan)
+        fn = _jit_block_fn(self.measure, self.backend, ti, tj, self.packed)
+        return fn(m1, m2, i0, j0)
+
+    def to_host(self, handle) -> np.ndarray:
+        """Fetch a block to host as (G, ti, tj) int32 counters."""
+        arr = np.asarray(handle)
+        if self.backend != "numpy" and self.packed:
+            from distance_tpu.ops.packing import unpack_host
+
+            return unpack_host(self.measure, arr)
+        return arr
+
+
+# ---------------------------------------------------------------------------
+# In-memory sweeps
+# ---------------------------------------------------------------------------
+
+def _counters_to_dict(plan: CounterPlan, stacked: np.ndarray) -> Dict[str, np.ndarray]:
+    return {name: stacked[k] for k, name in enumerate(plan.counters)}
+
+
+def _emit_pairs(
+    setup: Setup,
+    aln1: Alignment,
+    aln2: Alignment,
+    pair_i: np.ndarray,
+    pair_j: np.ndarray,
+    counters: Dict[str, np.ndarray],
+) -> None:
+    """Finalize + write one flat batch of pairs (already in order)."""
+    if setup.measure == "tn93":
+        qc = aln1.base_counts[pair_i]
+        tc = aln2.base_counts[pair_j]
+    else:
+        qc = tc = None
+    values = finalize_block(setup.measure, counters, qc, tc)
+    setup.writer.rows(aln1.ids, aln2.ids, pair_i, pair_j, values)
+
+
+def _run_load(setup: Setup) -> None:
+    if len(setup.loaded) == 1:
+        _sweep_square(setup, setup.loaded[0])
+    else:
+        _sweep_rectangle(setup, setup.loaded[0], setup.loaded[-1])
+
+
+def _choose_tiles(n1: int, n2: int, setup: Setup) -> Tuple[int, int]:
+    ti = min(setup.tile_i, _pow2_at_least(n1))
+    tj = min(setup.tile_j, _pow2_at_least(n2))
+    return ti, tj
+
+
+def _pow2_at_least(n: int) -> int:
+    p = 8
+    while p < n:
+        p *= 2
+    return p
+
+
+def _sweep_square(setup: Setup, aln: Alignment) -> None:
+    n, width = aln.n, aln.width
+    setup.writer.header()
+    if n < 2:
+        return
+    backend = _resolve_backend(setup.backend, 0.5 * n * n * max(width, 1))
+    ti, tj = _choose_tiles(n, n, setup)
+    eng = _BlockEngine(setup.measure, backend, ti, tj, width)
+    mat = eng.prepare(aln.matrix, max(ti, tj))
+
+    plan = eng.plan
+    for i0 in range(0, n - 1 if n > 1 else n, ti):
+        si = min(ti, n - i0)
+        # Dispatch every column block of this strip (async on device).
+        handles = []
+        col_starts = list(range(i0, n, tj))
+        for j0 in col_starts:
+            handles.append(eng.block(mat, mat, i0, j0, ti, tj))
+        # Gather into a strip buffer covering columns [i0, i0 + span).
+        span = col_starts[-1] + tj - i0 if col_starts else 0
+        strip = np.zeros((len(plan.counters), ti, span), dtype=np.int32)
+        for j0, h in zip(col_starts, handles):
+            blk = eng.to_host(h)
+            strip[:, : blk.shape[1], j0 - i0 : j0 - i0 + blk.shape[2]] = blk
+        # Emit rows i0..i0+si-1 in order: (i, j) for j in i+1..n.
+        local = []
+        cols = []
+        for li in range(si):
+            i = i0 + li
+            js = np.arange(i + 1, n, dtype=np.int64)
+            local.append(np.full(js.shape, li, dtype=np.int64))
+            cols.append(js)
+        if not cols:
+            continue
+        local_rows = np.concatenate(local)
+        col_idx = np.concatenate(cols)
+        counters = {
+            name: strip[k, local_rows, col_idx - i0]
+            for k, name in enumerate(plan.counters)
+        }
+        pair_i = (local_rows + i0).astype(np.int64)
+        _emit_pairs(setup, aln, aln, pair_i, col_idx, counters)
+
+
+def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
+    n1, n2 = aln1.n, aln2.n
+    width = aln1.width
+    setup.writer.header()
+    backend = _resolve_backend(setup.backend, float(n1) * n2 * max(width, 1))
+    ti, tj = _choose_tiles(n1, n2, setup)
+    eng = _BlockEngine(setup.measure, backend, ti, tj, width)
+    m1 = eng.prepare(aln1.matrix, ti)
+    m2 = eng.prepare(aln2.matrix, tj)
+    plan = eng.plan
+
+    for i0 in range(0, n1, ti):
+        si = min(ti, n1 - i0)
+        handles = []
+        col_starts = list(range(0, n2, tj))
+        for j0 in col_starts:
+            handles.append(eng.block(m1, m2, i0, j0, ti, tj))
+        span = col_starts[-1] + tj if col_starts else 0
+        strip = np.zeros((len(plan.counters), ti, span), dtype=np.int32)
+        for j0, h in zip(col_starts, handles):
+            blk = eng.to_host(h)
+            strip[:, : blk.shape[1], j0 : j0 + blk.shape[2]] = blk
+        local_rows = np.repeat(np.arange(si, dtype=np.int64), n2)
+        col_idx = np.tile(np.arange(n2, dtype=np.int64), si)
+        counters = {
+            name: strip[k, local_rows, col_idx]
+            for k, name in enumerate(plan.counters)
+        }
+        pair_i = local_rows + i0
+        _emit_pairs(setup, aln1, aln2, pair_i, col_idx, counters)
+
+
+# ---------------------------------------------------------------------------
+# Streamed sweep
+# ---------------------------------------------------------------------------
+
+def _run_stream(setup: Setup) -> None:
+    aln = setup.loaded[0]
+    n1, width = aln.n, aln.width
+    setup.writer.header()
+    # Internal device batch: output order is independent of the user's
+    # -b (it only sized the reference's channel messages), so batches are
+    # sized for the device while preserving record order.
+    dev_batch = max(setup.batchsize, 512)
+    backend = _resolve_backend(setup.backend, float(n1) * dev_batch * max(width, 1))
+    ti = min(setup.tile_i, _pow2_at_least(n1))
+    eng = _BlockEngine(setup.measure, backend, ti, dev_batch, width)
+    m1 = eng.prepare(aln.matrix, ti)
+    plan = eng.plan
+
+    pending: List[Tuple[List[str], Optional[np.ndarray], List[object], int]] = []
+
+    def flush_one() -> None:
+        ids2, bcounts, handles, bn = pending.pop(0)
+        strip = np.zeros((len(plan.counters), _ceil(n1, ti) * ti, dev_batch),
+                         dtype=np.int32)
+        for i0, h in handles:
+            blk = eng.to_host(h)
+            strip[:, i0 : i0 + blk.shape[1], : blk.shape[2]] = blk
+        # Emission: for each streamed record (outer), all loaded (inner)
+        # with columns (loaded_id, streamed_id) — lib.rs:322-333.
+        local_cols = np.repeat(np.arange(bn, dtype=np.int64), n1)
+        row_idx = np.tile(np.arange(n1, dtype=np.int64), bn)
+        counters = {
+            name: strip[k, row_idx, local_cols]
+            for k, name in enumerate(plan.counters)
+        }
+        if setup.measure == "tn93":
+            qc = aln.base_counts[row_idx]
+            tc = bcounts[local_cols]
+        else:
+            qc = tc = None
+        values = finalize_block(setup.measure, counters, qc, tc)
+        setup.writer.rows(aln.ids, ids2, row_idx, local_cols, values)
+
+    for batch in stream_fasta(
+        setup.streamed, width, setup.measure, setup.consensus, dev_batch
+    ):
+        bn = batch.matrix.shape[0]
+        if backend == "numpy":
+            m2 = _pad_to(batch.matrix, dev_batch, width)
+        else:
+            import jax.numpy as jnp
+
+            m2 = jnp.asarray(
+                _pad_to(batch.matrix, dev_batch, m1.shape[1])
+            )
+        handles = []
+        for i0 in range(0, n1, ti):
+            handles.append((i0, eng.block(m1, m2, i0, 0, ti, dev_batch)))
+        pending.append((batch.ids, batch.base_counts, handles, bn))
+        # Keep at most 2 batches in flight (double buffering).
+        while len(pending) > 2:
+            flush_one()
+    while pending:
+        flush_one()
+
+
+def _ceil(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_to(matrix: np.ndarray, rows: int, width: int) -> np.ndarray:
+    out = np.zeros((rows, width), dtype=np.uint8)
+    out[: matrix.shape[0], : matrix.shape[1]] = matrix
+    return out

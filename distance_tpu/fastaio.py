@@ -1,0 +1,310 @@
+"""FASTA I/O: parse, validate, and pack alignments into uint8 code matrices.
+
+TPU-native counterpart of the reference's record-oriented I/O layer
+(/root/reference/src/fastaio.rs).  Instead of a Vec of per-record byte
+vectors, an alignment is packed into one contiguous ``(n_seqs, L)`` uint8
+matrix ready for device upload; ids/descriptions stay host-side.
+
+Error messages reproduce the reference verbatim
+(/root/reference/src/fastaio.rs:89-99).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from typing import BinaryIO, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from distance_tpu.encoding import ENCODING, A, G, C, T
+
+
+class DistanceError(Exception):
+    """Engine error carrying a user-facing message.
+
+    Mirrors the reference's ``DistanceError::Message``
+    (/root/reference/src/lib.rs:21-39): the CLI prints the message wrapped
+    Debug-style and exits 1.
+    """
+
+
+def _err_invalid_nuc(record_id: str, ch: str) -> str:
+    # /root/reference/src/fastaio.rs:89-91
+    return f"Invalid nucleotide character in record '{record_id}': '{ch}'"
+
+
+def _err_different_lengths(w1: int, w2: int) -> str:
+    # /root/reference/src/fastaio.rs:93-95
+    return f"Different length sequences in alignment(s): {w1} vs {w2}"
+
+
+def _err_empty_fasta() -> str:
+    # /root/reference/src/fastaio.rs:97-99
+    return "Empty FASTA file"
+
+
+# ---------------------------------------------------------------------------
+# Raw FASTA parsing
+# ---------------------------------------------------------------------------
+
+def parse_fasta(handle: BinaryIO) -> Iterator[Tuple[str, str, bytes]]:
+    """Yield ``(id, description, sequence_bytes)`` per record.
+
+    Follows the same conventions as the reference's FASTA reader: a record
+    header is ``>`` followed by an id (first whitespace-delimited token) and
+    an optional description; sequence lines are concatenated with
+    end-of-line whitespace stripped.
+    """
+    header: Optional[str] = None
+    chunks: List[bytes] = []
+    seen_any = False
+    for raw in handle:
+        line = raw.rstrip(b"\r\n")
+        if line.startswith(b">"):
+            if header is not None:
+                yield _split_header(header) + (b"".join(chunks),)
+            header = line[1:].decode("utf-8", errors="replace")
+            chunks = []
+            seen_any = True
+        else:
+            if not seen_any:
+                if line.strip() == b"":
+                    continue
+                raise DistanceError("Expected '>' at FASTA record start")
+            chunks.append(line.strip())
+    if header is not None:
+        yield _split_header(header) + (b"".join(chunks),)
+
+
+def _split_header(header: str) -> Tuple[str, str]:
+    parts = header.split(maxsplit=1)
+    if not parts:
+        return "", ""
+    rid = parts[0]
+    desc = parts[1] if len(parts) > 1 else ""
+    return rid, desc
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+# ---------------------------------------------------------------------------
+
+def encode_seq(record_id: str, seq: bytes) -> np.ndarray:
+    """Encode one sequence to Paradis codes, validating every byte.
+
+    Invalid bytes raise with the reference's message, naming the first
+    offending character in sequence order
+    (/root/reference/src/fastaio.rs:110-115).
+    """
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    codes = ENCODING[arr]
+    if arr.size and not codes.all():
+        bad = int(np.argmax(codes == 0))
+        raise DistanceError(_err_invalid_nuc(record_id, chr(arr[bad])))
+    return codes
+
+
+@dataclass
+class Alignment:
+    """One loaded FASTA alignment, packed for device upload.
+
+    Fields mirror the reference's per-record state
+    (/root/reference/src/fastaio.rs:13-24) hoisted to matrix form:
+    ``base_counts`` is the tn93 per-record ATGC tally and ``differences``
+    the per-record consensus-difference index lists for measure ``n``.
+    """
+
+    ids: List[str]
+    descriptions: List[str]
+    matrix: np.ndarray  # (n_seqs, L) uint8
+    base_counts: Optional[np.ndarray] = None  # (n_seqs, 4) int64: A,T,G,C
+    differences: Optional[List[np.ndarray]] = None
+
+    @property
+    def n(self) -> int:
+        return self.matrix.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.matrix.shape[1]
+
+    def count_bases(self) -> np.ndarray:
+        """Per-record counts of encoded A/T/G/C (case-insensitive by
+        construction), as used by the loaded-path tn93
+        (/root/reference/src/fastaio.rs:53-66)."""
+        m = self.matrix
+        self.base_counts = np.stack(
+            [
+                (m == A).sum(axis=1),
+                (m == T).sum(axis=1),
+                (m == G).sum(axis=1),
+                (m == C).sum(axis=1),
+            ],
+            axis=1,
+        ).astype(np.int64)
+        return self.base_counts
+
+    def get_differences(self, cons: np.ndarray) -> List[np.ndarray]:
+        """Per-record sorted indices differing from the consensus.
+
+        Any difference apart from self codes >= 240 (N, -, ?) counts
+        (/root/reference/src/fastaio.rs:67-75).
+        """
+        mask = (self.matrix < 240) & (self.matrix != cons[None, :])
+        self.differences = [np.flatnonzero(row) for row in mask]
+        return self.differences
+
+
+def load_fasta(handle: BinaryIO) -> Alignment:
+    """Read a whole FASTA stream into an Alignment.
+
+    Enforces equal widths within the file and rejects empty files
+    (/root/reference/src/fastaio.rs:174-200).
+    """
+    ids: List[str] = []
+    descs: List[str] = []
+    rows: List[np.ndarray] = []
+    width: Optional[int] = None
+    for rid, desc, seq in parse_fasta(handle):
+        codes = encode_seq(rid, seq)
+        if width is None:
+            width = codes.size
+        elif codes.size != width:
+            raise DistanceError(_err_different_lengths(codes.size, width))
+        ids.append(rid)
+        descs.append(desc)
+        rows.append(codes)
+    if not rows:
+        raise DistanceError(_err_empty_fasta())
+    matrix = np.vstack(rows) if width else np.zeros((len(rows), 0), np.uint8)
+    return Alignment(ids=ids, descriptions=descs, matrix=matrix)
+
+
+def load_fastas(handles: Sequence[BinaryIO]) -> List[Alignment]:
+    """Load one or two alignments, checking widths across files
+    (/root/reference/src/fastaio.rs:202-212)."""
+    loaded: List[Alignment] = []
+    for counter, handle in enumerate(handles):
+        loaded.append(load_fasta(handle))
+        if counter == 1 and loaded[0].width != loaded[1].width:
+            raise DistanceError(
+                _err_different_lengths(loaded[0].width, loaded[1].width)
+            )
+    return loaded
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+@dataclass
+class StreamBatch:
+    """A batch of streamed records (analog of ``Records``,
+    /root/reference/src/fastaio.rs:83-87)."""
+
+    ids: List[str]
+    matrix: np.ndarray  # (batch, L) uint8
+    base_counts: Optional[np.ndarray]  # (batch, 4) int64 A,T,G,C or None
+    idx: int
+
+
+def stream_fasta(
+    handle: BinaryIO,
+    width: int,
+    measure: str,
+    consensus_seq: Optional[np.ndarray],
+    batchsize: int,
+) -> Iterator[StreamBatch]:
+    """Incrementally read, validate, and encode records in batches.
+
+    Mirrors /root/reference/src/fastaio.rs:215-286:
+
+    * every record's width is checked against the loaded alignment;
+    * measure ``tn93`` tallies raw upper-case 'A','T','G','C' bytes only
+      (the reference's streamed-path quirk, fastaio.rs:124-142 — the loaded
+      path counts encoded codes and therefore accepts lower case);
+    * measure ``n`` requires a consensus built from the loaded alignment.
+    * an empty stream is an error, raised after the end of iteration.
+    """
+    if measure == "n" and consensus_seq is None:
+        # /root/reference/src/fastaio.rs:233-240
+        raise DistanceError(
+            "Expected a consensus sequence to be generated when the distance"
+            " measure is n"
+        )
+
+    ids: List[str] = []
+    rows: List[np.ndarray] = []
+    counts: List[np.ndarray] = []
+    idx_counter = 0
+    record_counter = 0
+
+    def make_batch(i: int) -> StreamBatch:
+        return StreamBatch(
+            ids=list(ids),
+            matrix=np.vstack(rows) if rows else np.zeros((0, width), np.uint8),
+            base_counts=np.vstack(counts).astype(np.int64) if counts else None,
+            idx=i,
+        )
+
+    for rid, _desc, seq in parse_fasta(handle):
+        record_counter += 1
+        if len(seq) != width:
+            raise DistanceError(_err_different_lengths(len(seq), width))
+        codes = encode_seq(rid, seq)
+        ids.append(rid)
+        rows.append(codes)
+        if measure == "tn93":
+            raw = np.frombuffer(seq, dtype=np.uint8)
+            counts.append(
+                np.array(
+                    [
+                        int((raw == ord("A")).sum()),
+                        int((raw == ord("T")).sum()),
+                        int((raw == ord("G")).sum()),
+                        int((raw == ord("C")).sum()),
+                    ],
+                    dtype=np.int64,
+                )
+            )
+        if len(ids) == batchsize:
+            yield make_batch(idx_counter)
+            idx_counter += 1
+            ids, rows, counts = [], [], []
+
+    if ids:
+        yield make_batch(idx_counter)
+
+    if record_counter == 0:
+        raise DistanceError(_err_empty_fasta())
+
+
+# ---------------------------------------------------------------------------
+# Consensus
+# ---------------------------------------------------------------------------
+
+def consensus(alignments: Iterable[Alignment]) -> np.ndarray:
+    """Per-column ATGC-majority consensus over all loaded records.
+
+    Reference semantics (/root/reference/src/fastaio.rs:289-336): every
+    non-ACGT code tallies as A; ties break by fixed priority A > G > C > T
+    (strict ``>`` keeps the first maximum).  Returns an encoded pure-AGCT
+    pseudo-sequence of shape (L,).
+    """
+    mats = [a.matrix for a in alignments]
+    width = mats[0].shape[1]
+    # Tally order [A, G, C, T]; unknown codes fall into bucket 0 (A).
+    lookup = np.zeros(256, dtype=np.uint8)
+    lookup[A] = 0
+    lookup[G] = 1
+    lookup[C] = 2
+    lookup[T] = 3
+    counts = np.zeros((4, width), dtype=np.int64)
+    for m in mats:
+        mapped = lookup[m]
+        for b in range(4):
+            counts[b] += (mapped == b).sum(axis=0)
+    back_translate = np.array([A, G, C, T], dtype=np.uint8)
+    # np.argmax returns the first maximum — matches the strict-> loop.
+    return back_translate[np.argmax(counts, axis=0)]

@@ -1,0 +1,160 @@
+"""Fused Pallas TPU kernel for the pairwise counter sweep.
+
+One kernel computes all counter groups for a (TILE_I x TILE_J) block of
+sequence pairs: the uint8 code tiles are read from HBM once, the feature
+channels are built in-register with VPU bit ops (no gathers, no
+materialized (R x L) feature tensors in HBM — the XLA path's main memory
+overhead), and each counter group is contracted on the MXU with f32
+accumulation across site tiles.
+
+Grid: (i_tiles, j_tiles, site_tiles) with the site dimension innermost so
+each output block accumulates in VMEM across the site sweep.
+
+Exactness matches the XLA path: features are in {-1, 0, 1} (exact in
+bfloat16) and partial sums stay below 2^24.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from distance_tpu.ops.features import CounterPlan
+
+# Site-tile width; the engine pads L to a multiple of 128.  Capped at 512
+# to keep the per-channel feature tiles comfortably inside VMEM.
+_SITE_TILES = (512, 256, 128)
+
+
+def _eval_prim_i32(prim, v32):
+    """Evaluate one feature primitive over an int32 code tile (VPU ops)."""
+    kind, arg = prim
+    shifts = {0: 7, 1: 6, 2: 5, 3: 4}
+    if kind == "bits":
+        if arg == 0:
+            return (v32 != 0).astype(jnp.int32)
+        out = None
+        for b in range(4):
+            if (arg >> b) & 1:
+                bit = (v32 >> shifts[b]) & 1
+                out = bit if out is None else out * bit
+        return out
+    if kind == "exact":
+        return ((v32 >> shifts[arg]) & 1) * ((v32 >> 3) & 1)
+    if kind == "pur":
+        return (
+            (v32 != 0).astype(jnp.int32)
+            * (1 - ((v32 >> 5) & 1))
+            * (1 - ((v32 >> 4) & 1))
+        )
+    if kind == "pyr":
+        return (
+            (v32 != 0).astype(jnp.int32)
+            * (1 - ((v32 >> 7) & 1))
+            * (1 - ((v32 >> 6) & 1))
+        )
+    if kind == "known":
+        return (v32 >> 3) & 1
+    raise ValueError(f"unknown primitive {kind!r}")
+
+
+def _features(v: jnp.ndarray, plan: CounterPlan, side: str) -> list:
+    """Per-channel bf16 feature tiles for one code tile (TI, TS)."""
+    v32 = v.astype(jnp.int32)
+    feats = []
+    for sign, f_prim, g_prim in plan.channels:
+        prim = f_prim if side == "f" else g_prim
+        feat = _eval_prim_i32(prim, v32)
+        if side == "f" and sign < 0:
+            feat = -feat
+        feats.append(feat.astype(jnp.bfloat16))
+    return feats
+
+
+def _kernel(x_ref, y_ref, *out_refs, plan: CounterPlan):
+    s = pl.program_id(2)
+    fx = _features(x_ref[:], plan, "f")  # list of (TI, TS) bf16
+    gy = _features(y_ref[:], plan, "g")  # list of (TJ, TS) bf16
+    for gi, name in enumerate(plan.counters):
+        lo, hi = plan.slice_of(name)
+        # Per-channel dots accumulated in f32 — small working set, no
+        # concatenated (TI, r*TS) mega-buffers (those stall Mosaic).
+        acc = None
+        for k in range(lo, hi):
+            d = jax.lax.dot_general(
+                fx[k],
+                gy[k],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        out_ref = out_refs[gi]
+
+        @pl.when(s == 0)
+        def _init(acc=acc, out_ref=out_ref):
+            out_ref[:] = acc
+
+        @pl.when(s != 0)
+        def _accum(acc=acc, out_ref=out_ref):
+            out_ref[:] = out_ref[:] + acc
+
+
+def _pick_site_tile(l_pad: int) -> int:
+    for ts in _SITE_TILES:
+        if l_pad % ts == 0:
+            return ts
+    raise ValueError(f"alignment width {l_pad} not a multiple of 128")
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def counters_pallas(
+    x_codes: jnp.ndarray,
+    y_codes: jnp.ndarray,
+    plan: CounterPlan,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Counters for every (x, y) pair via the fused Pallas kernel.
+
+    Args/returns as counters_xla: (m, L) x (n, L) uint8 -> (G, m, n) int32.
+    m, n must be multiples of 8 and L a multiple of 128 (the engine pads).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, l_pad = x_codes.shape
+    n, _ = y_codes.shape
+    if not interpret and (m % 8 or n % 128 or l_pad % 128):
+        # Sub-hardware-tile shapes (lane dim < 128) are not worth a Mosaic
+        # kernel — and can stall its compiler.  The XLA path is exact.
+        from distance_tpu.ops.pairwise_xla import counters_xla
+
+        return counters_xla(x_codes, y_codes, plan)
+    ts = _pick_site_tile(l_pad)
+    # Kernel-internal pair tiles (the engine's blocks are usually larger).
+    ti = 128 if m % 128 == 0 else m
+    tj = 256 if n % 256 == 0 else n
+    grid = (m // ti, n // tj, l_pad // ts)
+
+    kernel = functools.partial(_kernel, plan=plan)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((m, n), jnp.float32) for _ in plan.counters
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ti, ts), lambda i, j, s: (i, s)),
+            pl.BlockSpec((tj, ts), lambda i, j, s: (j, s)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((ti, tj), lambda i, j, s: (i, j))
+            for _ in plan.counters
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x_codes, y_codes)
+    return jnp.stack(outs).astype(jnp.int32)

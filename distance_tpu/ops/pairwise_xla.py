@@ -1,0 +1,91 @@
+"""Portable XLA pairwise-counter sweep (einsum / MXU path).
+
+Computes the per-pair integer counters for a block of sequence pairs as a
+set of GEMMs over the bilinear feature channels defined in features.py.
+This path runs on any backend (the TPU fast path materializes int8/bf16
+feature tensors and lets XLA drive the MXU; the Pallas kernel in
+pairwise_pallas.py fuses feature extraction into the matmul).
+
+Exactness: features are in {-1, 0, 1} (exact in bf16); per-counter partial
+sums are bounded by L * r_counter <= 2^24 for alignment widths up to ~1M
+sites, so f32 accumulation is exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distance_tpu.ops.features import CounterPlan, features_device, get_plan
+
+# Widest counter group is ``diff`` (16 channels): f32 partial sums stay
+# exact while L * 16 < 2^24.
+MAX_EXACT_WIDTH = (1 << 24) // 16
+
+
+def counters_xla(
+    x_codes: jnp.ndarray,
+    y_codes: jnp.ndarray,
+    plan: CounterPlan,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Counters for every (x, y) pair.
+
+    Feature channels are built with elementwise bit ops (VPU work, no
+    gathers) and contracted on the MXU, one GEMM per counter group.
+
+    Args:
+      x_codes: (m, L) uint8 encoded sequences (query side).
+      y_codes: (n, L) uint8 encoded sequences (target side).
+      plan: CounterPlan for the measure.
+
+    Returns:
+      (n_counters, m, n) int32 — exact integer counters.
+    """
+    fx = features_device(x_codes, plan, "f", jnp, dtype)  # (R, m, L)
+    gy = features_device(y_codes, plan, "g", jnp, dtype)  # (R, n, L)
+    outs = []
+    for name in plan.counters:
+        lo, hi = plan.slice_of(name)
+        # contraction over (channel, site): one MXU GEMM per counter.
+        c = jax.lax.dot_general(
+            fx[lo:hi],
+            gy[lo:hi],
+            dimension_numbers=(((0, 2), (0, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(c)
+    return jnp.stack(outs).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def make_block_fn(measure: str, backend: str = "xla"):
+    """Jitted (x_block, y_block) -> (n_counters, m, n) int32 for a measure.
+
+    ``backend`` selects "xla" (this module) or "pallas"
+    (ops.pairwise_pallas); both produce identical integers.
+    """
+    plan = get_plan(measure)
+    if backend == "pallas":
+        from distance_tpu.ops.pairwise_pallas import counters_pallas
+
+        fn = functools.partial(counters_pallas, plan=plan)
+    else:
+        fn = functools.partial(counters_xla, plan=plan)
+    return jax.jit(fn)
+
+
+def base_counts_device(codes: jnp.ndarray) -> jnp.ndarray:
+    """Per-sequence (A, T, G, C) encoded-code tallies on device —
+    the tn93 precompute (/root/reference/src/fastaio.rs:53-66) as a
+    one-shot device reduction.  (m, L) uint8 -> (m, 4) int32."""
+    from distance_tpu.encoding import A, C, G, T
+
+    outs = [
+        jnp.sum((codes == v).astype(jnp.int32), axis=1) for v in (A, T, G, C)
+    ]
+    return jnp.stack(outs, axis=1)

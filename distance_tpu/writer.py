@@ -1,0 +1,165 @@
+"""Ordered TSV output with Rust-compatible formatting.
+
+Reproduces the reference writer (/root/reference/src/lib.rs:598-644):
+
+* header ``sequence1\\tsequence2\\tdistance``;
+* integer measures print bare integers, float measures fixed 12 decimals
+  (``{:.12}``), with Rust spellings ``NaN`` / ``inf`` / ``-inf`` and a
+  preserved ``-0.000000000000``;
+* results may arrive as out-of-order blocks — a reorder buffer flushes
+  them in block-index order so output is deterministic and independent of
+  tiling/threading (the ``gather_write`` HashMap analog, lib.rs:612-638);
+* a broken pipe on the output stream exits 0 silently (lib.rs:598-608).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import sys
+from typing import BinaryIO, Dict, List, Sequence
+
+import numpy as np
+
+from distance_tpu._native import get_lib
+
+HEADER = b"sequence1\tsequence2\tdistance\n"
+
+
+def format_float(v: float) -> str:
+    """Rust ``{:.12}`` formatting for one f64."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    return f"{v:.12f}"
+
+
+class TsvWriter:
+    """Streaming TSV writer over a binary file object."""
+
+    def __init__(self, out: BinaryIO):
+        self._out = out
+        self._wrote_header = False
+
+    def _write(self, data: bytes) -> None:
+        try:
+            self._out.write(data)
+        except BrokenPipeError:
+            # /root/reference/src/lib.rs:598-608
+            try:
+                sys.stderr.close()
+            except Exception:
+                pass
+            import os
+
+            os._exit(0)
+
+    def header(self) -> None:
+        if not self._wrote_header:
+            self._write(HEADER)
+            self._wrote_header = True
+
+    def rows(
+        self,
+        ids1: Sequence[str],
+        ids2: Sequence[str],
+        pair_i: np.ndarray,
+        pair_j: np.ndarray,
+        values: np.ndarray,
+    ) -> None:
+        """Emit rows (ids1[pair_i[r]], ids2[pair_j[r]], values[r])."""
+        self.header()
+        data = _format_rows(ids1, ids2, pair_i, pair_j, values)
+        self._write(data)
+
+    def flush(self) -> None:
+        try:
+            self._out.flush()
+        except BrokenPipeError:
+            import os
+
+            os._exit(0)
+
+    def close(self) -> None:
+        self.flush()
+        if self._out not in (getattr(sys.stdout, "buffer", None),):
+            self._out.close()
+
+
+def _id_blob(ids: Sequence[str]):
+    enc = [s.encode() for s in ids]
+    offs = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in enc], out=offs[1:])
+    return b"".join(enc), offs
+
+
+def _format_rows(
+    ids1: Sequence[str],
+    ids2: Sequence[str],
+    pair_i: np.ndarray,
+    pair_j: np.ndarray,
+    values: np.ndarray,
+) -> bytes:
+    lib = get_lib()
+    pair_i = np.ascontiguousarray(pair_i, dtype=np.int32)
+    pair_j = np.ascontiguousarray(pair_j, dtype=np.int32)
+    n = pair_i.shape[0]
+    if lib is not None and n:
+        blob1, off1 = _id_blob(ids1)
+        blob2, off2 = _id_blob(ids2)
+        max_id = int((off1[1:] - off1[:-1]).max(initial=0)) + int(
+            (off2[1:] - off2[:-1]).max(initial=0)
+        )
+        cap = n * (max_id + 360 + 3) + 16
+        buf = ctypes.create_string_buffer(cap)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        p_i32 = ctypes.POINTER(ctypes.c_int32)
+        args = [
+            blob1, off1.ctypes.data_as(p_i64),
+            blob2, off2.ctypes.data_as(p_i64),
+            pair_i.ctypes.data_as(p_i32), pair_j.ctypes.data_as(p_i32),
+        ]
+        if values.dtype == np.float64:
+            vals = np.ascontiguousarray(values)
+            w = lib.dt_format_rows_f64(
+                *args, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                n, buf, cap,
+            )
+        else:
+            vals = np.ascontiguousarray(values, dtype=np.int64)
+            w = lib.dt_format_rows_i64(
+                *args, vals.ctypes.data_as(p_i64), n, buf, cap,
+            )
+        if w >= 0:
+            return buf.raw[:w]
+    # Python fallback
+    parts: List[str] = []
+    if values.dtype == np.float64:
+        for r in range(n):
+            parts.append(
+                f"{ids1[pair_i[r]]}\t{ids2[pair_j[r]]}\t{format_float(values[r])}\n"
+            )
+    else:
+        for r in range(n):
+            parts.append(f"{ids1[pair_i[r]]}\t{ids2[pair_j[r]]}\t{int(values[r])}\n")
+    return "".join(parts).encode()
+
+
+class ReorderBuffer:
+    """Flush out-of-order blocks in index order (gather_write analog)."""
+
+    def __init__(self, emit) -> None:
+        self._emit = emit
+        self._pending: Dict[int, object] = {}
+        self._counter = 0
+
+    def add(self, idx: int, payload) -> None:
+        self._pending[idx] = payload
+        while self._counter in self._pending:
+            self._emit(self._pending.pop(self._counter))
+            self._counter += 1
+
+    @property
+    def outstanding(self) -> int:
+        return len(self._pending)

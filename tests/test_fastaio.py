@@ -1,0 +1,178 @@
+"""FASTA I/O parity: encode, load, errors, consensus, differences, stream.
+
+Mirrors the reference's fastaio tests (/root/reference/src/fastaio.rs:338-485)
+plus the error paths the reference leaves uncovered.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from distance_tpu.fastaio import (
+    Alignment,
+    DistanceError,
+    consensus,
+    encode_seq,
+    load_fasta,
+    load_fastas,
+    stream_fasta,
+)
+
+FASTA = b">target\nATGATGATGATGCCC\n"
+OTHER = b">target\nATTATTATGATGCCC\n"
+
+
+def load1(data: bytes) -> Alignment:
+    return load_fasta(io.BytesIO(data))
+
+
+def test_encode_exact_bytes():
+    # fastaio.rs:380-389
+    aln = load1(FASTA)
+    expected = [136, 24, 72, 136, 24, 72, 136, 24, 72, 136, 24, 72, 40, 40, 40]
+    assert aln.matrix[0].tolist() == expected
+
+
+def test_encode_lowercase():
+    a = encode_seq("x", b"acgt")
+    b = encode_seq("x", b"ACGT")
+    assert np.array_equal(a, b)
+
+
+def test_invalid_nucleotide_message():
+    with pytest.raises(DistanceError) as e:
+        encode_seq("recX", b"ATGZTT")
+    assert str(e.value) == "Invalid nucleotide character in record 'recX': 'Z'"
+
+
+def test_invalid_reports_first_bad_char():
+    with pytest.raises(DistanceError) as e:
+        encode_seq("r", b"AXZB")
+    assert "'X'" in str(e.value)
+
+
+def test_count_bases():
+    # fastaio.rs:359-367
+    aln = load1(FASTA)
+    aln.count_bases()
+    a, t, g, c = aln.base_counts[0]
+    assert (a, t, g, c) == (4, 4, 4, 3)
+
+
+def test_count_bases_counts_lowercase():
+    aln = load1(b">x\natgc\n")
+    aln.count_bases()
+    assert aln.base_counts[0].tolist() == [1, 1, 1, 1]
+
+
+def test_get_differences():
+    # fastaio.rs:370-377
+    rec = load1(FASTA)
+    oth = load1(OTHER)
+    diffs = rec.get_differences(oth.matrix[0])
+    assert diffs[0].tolist() == [2, 5]
+
+
+def test_get_differences_skips_n_gap_q():
+    rec = load1(b">x\nNT-C?\n")
+    cons = encode_seq("c", b"AAAAA")
+    diffs = rec.get_differences(cons)
+    # N (240), - (244), ? (242) are self codes >= 240 -> excluded
+    assert diffs[0].tolist() == [1, 3]
+
+
+def test_load_ragged_widths():
+    data = b">a\nACGT\n>b\nACG\n"
+    with pytest.raises(DistanceError) as e:
+        load1(data)
+    assert str(e.value) == "Different length sequences in alignment(s): 3 vs 4"
+
+
+def test_load_empty():
+    with pytest.raises(DistanceError) as e:
+        load1(b"")
+    assert str(e.value) == "Empty FASTA file"
+
+
+def test_load_fastas_cross_width():
+    with pytest.raises(DistanceError) as e:
+        load_fastas([io.BytesIO(b">a\nACGT\n"), io.BytesIO(b">b\nACGTA\n")])
+    assert str(e.value) == "Different length sequences in alignment(s): 4 vs 5"
+
+
+def test_multiline_records_and_description():
+    aln = load1(b">id1 some description here\nACG\nT\n>id2\nAAAA\n")
+    assert aln.ids == ["id1", "id2"]
+    assert aln.descriptions[0] == "some description here"
+    assert aln.width == 4
+
+
+def test_consensus_reference_vectors():
+    # fastaio.rs:425-454
+    rec = load1(FASTA)
+    oth = load1(OTHER)
+    both = Alignment(
+        ids=["a", "b"],
+        descriptions=["", ""],
+        matrix=np.vstack([rec.matrix, oth.matrix]),
+    )
+    c = consensus([both])
+    assert c.tolist() == [136, 24, 72, 136, 24, 72, 136, 24, 72, 136, 24, 72, 40, 40, 40]
+
+    only_other = Alignment(
+        ids=["a", "b"],
+        descriptions=["", ""],
+        matrix=np.vstack([oth.matrix, oth.matrix]),
+    )
+    c = consensus([only_other])
+    assert c.tolist() == [136, 24, 24, 136, 24, 24, 136, 24, 72, 136, 24, 72, 40, 40, 40]
+
+
+def test_consensus_tie_priority():
+    # strict > keeps the first max in order A > G > C > T
+    # (fastaio.rs:320-330); non-ACGT codes tally as A (298-302).
+    aln = load1(b">a\nGT\n>b\nTG\n")
+    c = consensus([aln])
+    assert c.tolist() == [72, 72]  # G beats T on ties
+    aln2 = load1(b">a\nNC\n>b\nCN\n")
+    # N tallies as A; tie between A and C -> A wins
+    c2 = consensus([aln2])
+    assert c2.tolist() == [136, 136]
+
+
+def test_stream_batches_and_order():
+    data = b">r1\nACGT\n>r2\nACGA\n>r3\nACGC\n"
+    batches = list(stream_fasta(io.BytesIO(data), 4, "raw", None, 2))
+    assert [b.idx for b in batches] == [0, 1]
+    assert batches[0].ids == ["r1", "r2"]
+    assert batches[1].ids == ["r3"]
+    assert batches[0].matrix.shape == (2, 4)
+
+
+def test_stream_width_check():
+    data = b">r1\nACG\n"
+    with pytest.raises(DistanceError) as e:
+        list(stream_fasta(io.BytesIO(data), 4, "raw", None, 1))
+    assert str(e.value) == "Different length sequences in alignment(s): 3 vs 4"
+
+
+def test_stream_empty():
+    with pytest.raises(DistanceError) as e:
+        list(stream_fasta(io.BytesIO(b""), 4, "raw", None, 1))
+    assert str(e.value) == "Empty FASTA file"
+
+
+def test_stream_n_requires_consensus():
+    # fastaio.rs:233-240
+    with pytest.raises(DistanceError) as e:
+        list(stream_fasta(io.BytesIO(b">r\nACGT\n"), 4, "n", None, 1))
+    assert "consensus" in str(e.value)
+
+
+def test_stream_tn93_uppercase_only_quirk():
+    # The reference's streamed tn93 path counts raw upper-case chars only
+    # (fastaio.rs:124-142) unlike the loaded path — reproduced verbatim.
+    data = b">r\nacgtACGT\n"
+    [batch] = list(stream_fasta(io.BytesIO(data), 8, "tn93", None, 1))
+    assert batch.base_counts[0].tolist() == [1, 1, 1, 1]

@@ -1,0 +1,88 @@
+"""The bilinear decompositions must reproduce the byte predicates exactly
+over every pair of valid codes, and the device feature builder must agree
+with the host LUTs for every byte."""
+
+import numpy as np
+import pytest
+
+from distance_tpu.encoding import ALL_CODES
+from distance_tpu.measures import MEASURE_COUNTERS, MEASURES
+from distance_tpu.ops.features import (
+    COUNTER_CHANNELS,
+    counter_luts,
+    features_device,
+    get_plan,
+    reference_counter_matrix,
+)
+
+
+def predicate_tables():
+    a = ALL_CODES.astype(np.int32)
+    X, Y = np.meshgrid(a, a, indexing="ij")
+    diffb = (X & Y) < 16
+    known = ((X & 8) == 8) & ((Y & 8) == 8)
+    pur_x, pur_y = (X & 55) == 0, (Y & 55) == 0
+    pyr_x, pyr_y = (X & 199) == 0, (Y & 199) == 0
+    return a, {
+        "diff": diffb,
+        "same": (X == Y) & ((X & 8) == 8),
+        "ts": diffb & ((pur_x & pur_y) | (pyr_x & pyr_y)),
+        "tv": diffb & ((pur_x & pyr_y) | (pyr_x & pur_y)),
+        "kk": known,
+        "p1": diffb & known & ((X | Y) == 200),
+        "p2": diffb & known & ((X | Y) == 56),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(COUNTER_CHANNELS))
+def test_decomposition_exact(name):
+    codes, preds = predicate_tables()
+    got = reference_counter_matrix(name)[np.ix_(codes, codes)]
+    want = preds[name].astype(np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_padding_code_contributes_zero():
+    # code 0 (padding) must produce zero features in every channel so
+    # padded sites/rows never affect any counter.
+    for name in COUNTER_CHANNELS:
+        f, g = counter_luts(name)
+        assert (f[:, 0] == 0).all(), name
+        assert (g[:, 0] == 0).all(), name
+
+
+@pytest.mark.parametrize("measure", MEASURES)
+def test_plan_slices(measure):
+    plan = get_plan(measure)
+    assert plan.counters == MEASURE_COUNTERS[measure]
+    assert plan.f_luts.shape == (plan.total_channels, 256)
+    total = sum(hi - lo for _, lo, hi in plan.slices)
+    assert total == plan.total_channels
+
+
+@pytest.mark.parametrize("measure", MEASURES)
+def test_device_features_match_luts_numpy(measure):
+    plan = get_plan(measure)
+    codes = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    for side, luts in (("f", plan.f_luts), ("g", plan.g_luts)):
+        feats = features_device(codes, plan, side, np, np.int32)
+        want = luts[:, codes.reshape(-1).astype(np.int32)].reshape(
+            plan.total_channels, 2, 128
+        )
+        assert np.array_equal(feats, want.astype(np.int32)), (measure, side)
+
+
+@pytest.mark.parametrize("measure", MEASURES)
+def test_device_features_match_luts_jax(measure):
+    import jax.numpy as jnp
+
+    plan = get_plan(measure)
+    codes = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    for side, luts in (("f", plan.f_luts), ("g", plan.g_luts)):
+        feats = np.asarray(
+            features_device(jnp.asarray(codes), plan, side, jnp, "int8")
+        )
+        want = luts[:, codes.reshape(-1).astype(np.int32)].reshape(
+            plan.total_channels, 2, 128
+        )
+        assert np.array_equal(feats, want), (measure, side)

@@ -1,0 +1,63 @@
+"""Multi-device sharding parity on the 8-way virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from distance_tpu.engine import _counters_numpy
+from distance_tpu.fastaio import encode_seq
+from distance_tpu.ops.features import get_plan
+from tests.conftest import random_seqs
+
+
+def encode_padded(recs, rows, width):
+    mat = np.zeros((rows, width), dtype=np.uint8)
+    for i, (rid, seq) in enumerate(recs):
+        mat[i, : len(seq)] = encode_seq(rid, seq.encode())
+    return mat
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from distance_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(8, sp=2)
+
+
+@pytest.mark.parametrize("measure", ["n_high", "raw", "k80", "tn93"])
+def test_sharded_counters_exact(measure, mesh8):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from distance_tpu.parallel.mesh import sharded_counters_fn
+
+    rng = np.random.default_rng(5)
+    # dp=4, sp=2: y rows divisible by 4, width by 2*128
+    x = encode_padded(random_seqs(rng, 14, 250, amb_frac=0.25), 16, 256)
+    y = encode_padded(random_seqs(rng, 15, 250, amb_frac=0.25), 16, 256)
+    want = _counters_numpy(x, y, get_plan(measure))
+
+    xs = jax.device_put(x, NamedSharding(mesh8, P(None, "sp")))
+    ys = jax.device_put(y, NamedSharding(mesh8, P("dp", "sp")))
+    fn = sharded_counters_fn(measure, mesh8)
+    got = np.asarray(fn(xs, ys))
+    assert np.array_equal(got, want)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import jax
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 2
