@@ -91,51 +91,111 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
     dev = eng.prepare(mat, max(ti, tj))
     plan = eng.plan
 
-    # warm up / compile
-    eng.to_host(eng.block(dev, dev, 0, 0, ti, tj))
+    from distance_tpu.engine import (
+        _AsyncFetch,
+        _dispatch_strip,
+        _fetch_strip,
+        _pipeline_strips,
+    )
 
-    t0 = time.perf_counter()
+    # warm up / compile
+    eng.to_host(eng.block(dev, dev, 0, 0, ti, tj))  # compile + D2H warmup
+
     total_pairs = 0
-    for i0 in range(0, n - 1, ti):
+
+    def strips():
+        for i0 in range(0, n - 1, ti):
+            col_starts = list(range(i0, n, tj))
+            yield i0, col_starts, _AsyncFetch(
+                _dispatch_strip(eng, dev, dev, i0, col_starts, ti, tj)
+            )
+
+    def emit(item):
+        nonlocal total_pairs
+        i0, col_starts, handle = item
         si = min(ti, n - i0)
-        handles = [
-            (j0, eng.block(dev, dev, i0, j0, ti, tj))
-            for j0 in range(i0, n, tj)
-        ]
-        span = handles[-1][0] + tj - i0
-        strip = np.zeros((len(plan.counters), ti, span), dtype=np.int32)
-        for j0, h in handles:
-            blk = eng.to_host(h)
-            strip[:, : blk.shape[1], j0 - i0 : j0 - i0 + blk.shape[2]] = blk
-        # flatten upper-triangle pairs of this strip and finalize
+        strip = _fetch_strip(
+            eng, handle, si, n - i0,
+            redispatch=lambda mode: _dispatch_strip(
+                eng, dev, dev, i0, col_starts, ti, tj, mode
+            ),
+        )
         local, cols = [], []
         for li in range(si):
             i = i0 + li
             js = np.arange(i + 1, n, dtype=np.int64)
             local.append(np.full(js.shape, li, dtype=np.int64))
             cols.append(js)
-        local = np.concatenate(local) if local else np.zeros(0, np.int64)
-        cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+        local_rows = np.concatenate(local) if local else np.zeros(0, np.int64)
+        col_idx = np.concatenate(cols) if cols else np.zeros(0, np.int64)
         counters = {
-            name: strip[k, local, cols - i0]
+            name: strip[k, local_rows, col_idx - i0]
             for k, name in enumerate(plan.counters)
         }
         finalize_block(measure, counters)
-        total_pairs += local.shape[0]
+        total_pairs += local_rows.shape[0]
+
+    t0 = time.perf_counter()
+    _pipeline_strips(strips(), emit)
     dt = time.perf_counter() - t0
     return total_pairs / dt, dt, total_pairs
 
 
+def device_only_pairs_per_s(mat, measure, backend, ti, tj):
+    """Counter-sweep rate with results reduced on device (one scalar
+    fetch at the end).  Measures chip throughput without the host link —
+    the relevant number for hardware where PCIe is not a bottleneck."""
+    import jax
+    import jax.numpy as jnp
+
+    from distance_tpu.engine import _BlockEngine, _jit_block_fn
+
+    n, width = mat.shape
+    eng = _BlockEngine(measure, backend, ti, tj, width)
+    dev = eng.prepare(mat, max(ti, tj))
+
+    import functools
+
+    from distance_tpu.ops.features import get_plan
+
+    plan = get_plan(measure)
+    if backend == "pallas":
+        from distance_tpu.ops.pairwise_pallas import counters_pallas as kern
+    else:
+        from distance_tpu.ops.pairwise_xla import counters_xla as kern
+
+    @jax.jit
+    def block_sum(m, i0, j0, acc):
+        x = jax.lax.dynamic_slice(m, (i0, 0), (ti, m.shape[1]))
+        y = jax.lax.dynamic_slice(m, (j0, 0), (tj, m.shape[1]))
+        c = kern(x, y, plan)
+        return acc + jnp.sum(c, dtype=jnp.int32)
+
+    acc = jnp.zeros((), jnp.int32)
+    acc = block_sum(dev, 0, 0, acc)
+    np.asarray(acc)  # compile + warm
+
+    t0 = time.perf_counter()
+    total_pairs = 0
+    for i0 in range(0, n - 1, ti):
+        for j0 in range(i0, n, tj):
+            acc = block_sum(dev, i0, j0, acc)
+            total_pairs += ti * min(tj, max(0, n - j0))
+    np.asarray(acc)  # force completion (single tiny transfer)
+    dt = time.perf_counter() - t0
+    return total_pairs / dt, dt
+
+
 def main():
-    n = int(os.environ.get("BENCH_N", "16384"))
+    n = int(os.environ.get("BENCH_N", "8192"))
     width = int(os.environ.get("BENCH_L", "29904"))
     measure = os.environ.get("BENCH_MEASURE", "raw")
     import jax
 
     on_tpu = jax.default_backend() == "tpu"
-    backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "xla")
-    ti = int(os.environ.get("BENCH_TILE_I", "512" if on_tpu else "256"))
-    tj = int(os.environ.get("BENCH_TILE_J", "2048" if on_tpu else "512"))
+    backend = os.environ.get("BENCH_BACKEND", "xla")
+    ti = int(os.environ.get("BENCH_TILE_I", "1024" if on_tpu else "256"))
+    tj = int(os.environ.get("BENCH_TILE_J", "4096" if on_tpu else "512"))
     if not on_tpu:
         n = min(n, int(os.environ.get("BENCH_N", "2048")))
 
@@ -143,6 +203,9 @@ def main():
     baseline = cpu_baseline_pairs_per_s(mat, width)
 
     pairs_per_s, dt, total_pairs = device_sweep_pairs_per_s(
+        mat, measure, backend, ti, tj
+    )
+    dev_pairs_per_s, dev_dt = device_only_pairs_per_s(
         mat, measure, backend, ti, tj
     )
 
@@ -157,6 +220,10 @@ def main():
             "total_pairs": total_pairs,
             "sweep_seconds": round(dt, 3),
             "site_comparisons_per_s": round(pairs_per_s * width, 1),
+            "device_only_pairs_per_s": round(dev_pairs_per_s, 1),
+            "device_only_vs_baseline": round(dev_pairs_per_s / baseline, 2)
+            if baseline
+            else None,
             "implied_64core_cpu_baseline_pairs_per_s": round(baseline, 1)
             if baseline
             else None,

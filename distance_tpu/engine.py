@@ -174,17 +174,17 @@ def _resolve_backend(backend: str, pairsites: float) -> str:
 
 @functools.lru_cache(maxsize=None)
 def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
-                  packed: bool = False):
+                  pack_mode: str = "none", width: int = 0):
     """Jitted (mat1, mat2, i0, j0) -> counter block.
 
-    Returns (G, ti, tj) int32, or the packed representation (see
-    ops/packing.py) when ``packed`` — packing runs on device so the
-    device->host transfer shrinks to 2-8 bytes per pair.
+    ``pack_mode``: "none" -> (G, ti, tj) int32; "wide"/"narrow" -> the
+    packed representations from ops/packing.py — packing runs on device
+    so the device->host transfer shrinks to 1-8 bytes per pair.
     """
     import jax
     import jax.numpy as jnp
 
-    from distance_tpu.ops.packing import pack_device
+    from distance_tpu.ops.packing import pack_device, pack_device_narrow
 
     plan = get_plan(measure)
     if backend == "pallas":
@@ -196,7 +196,9 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
         x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
         y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
         c = kern(x, y, plan)
-        if packed:
+        if pack_mode == "narrow":
+            return pack_device_narrow(measure, c, width, jnp)
+        if pack_mode == "wide":
             return pack_device(measure, c, jnp)
         return c
 
@@ -218,6 +220,7 @@ class _BlockEngine:
         self.backend = backend
         self.ti = ti
         self.tj = tj
+        self.width = width
         from distance_tpu.ops.packing import PACK_LIMIT
 
         self.packed = backend != "numpy" and 0 < width < PACK_LIMIT
@@ -240,25 +243,36 @@ class _BlockEngine:
         padded[:n, :width] = matrix
         import jax.numpy as jnp
 
-        return jnp.asarray(padded)
+        dev = jnp.asarray(padded)
+        # Warm up the device->host path once: on some transports the very
+        # first D2H in a process can stall for minutes; a tiny transfer
+        # here absorbs that.
+        np.asarray(dev[:1, :1])
+        return dev
 
-    def block(self, m1, m2, i0: int, j0: int, ti: int, tj: int):
+    def block(self, m1, m2, i0: int, j0: int, ti: int, tj: int,
+              mode: Optional[str] = None):
         """Dispatch one (ti, tj) counter block; returns a lazy handle."""
         if self.backend == "numpy":
             x = m1[i0 : i0 + ti]
             y = m2[j0 : j0 + tj]
             return _counters_numpy(x, y, self.plan)
-        fn = _jit_block_fn(self.measure, self.backend, ti, tj, self.packed)
+        if mode is None:
+            mode = self.pack_mode
+        fn = _jit_block_fn(self.measure, self.backend, ti, tj, mode,
+                           self.width)
         return fn(m1, m2, i0, j0)
 
-    def to_host(self, handle) -> np.ndarray:
-        """Fetch a block to host as (G, ti, tj) int32 counters."""
-        arr = np.asarray(handle)
-        if self.backend != "numpy" and self.packed:
-            from distance_tpu.ops.packing import unpack_host
+    @property
+    def pack_mode(self) -> str:
+        if self.backend == "numpy" or not self.packed:
+            return "none"
+        return "narrow"
 
-            return unpack_host(self.measure, arr)
-        return arr
+    def to_host(self, handle) -> np.ndarray:
+        """Synchronously materialize a dispatched block on host (used for
+        warm-up; emission paths go through the strip fetch helpers)."""
+        return np.asarray(handle)
 
 
 # ---------------------------------------------------------------------------
@@ -307,6 +321,146 @@ def _pow2_at_least(n: int) -> int:
     return p
 
 
+# Target size for one device->host transfer request.  The device link can
+# have high per-request latency, so strips are fetched in parallel chunks
+# of this many bytes rather than block-by-block, and chunk transfers are
+# submitted as soon as a strip is dispatched so the link stays busy
+# across strips.
+import os as _os
+
+FETCH_CHUNK_BYTES = int(_os.environ.get("DISTANCE_TPU_FETCH_CHUNK", 4 << 20))
+FETCH_THREADS = int(_os.environ.get("DISTANCE_TPU_FETCH_THREADS", 6))
+# Strips dispatched ahead of the one currently being fetched/emitted.
+STRIP_LOOKAHEAD = int(_os.environ.get("DISTANCE_TPU_LOOKAHEAD", 3))
+
+_fetch_pool = None
+
+
+def _get_fetch_pool():
+    global _fetch_pool
+    if _fetch_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _fetch_pool = ThreadPoolExecutor(FETCH_THREADS)
+    return _fetch_pool
+
+
+def _chunk_slices(handle, axis: int):
+    shape = handle.shape
+    other = int(np.prod(shape)) // max(1, shape[axis])
+    bytes_per_slice = other * handle.dtype.itemsize
+    chunk = max(1, FETCH_CHUNK_BYTES // max(1, bytes_per_slice))
+    if chunk >= shape[axis]:
+        return [handle]
+    parts = []
+    for c0 in range(0, shape[axis], chunk):
+        s = [slice(None)] * len(shape)
+        s[axis] = slice(c0, c0 + chunk)
+        parts.append(handle[tuple(s)])
+    return parts
+
+
+class _AsyncFetch:
+    """Device->host transfer of one strip, started eagerly in background
+    threads (chunked).  ``result()`` blocks and reassembles."""
+
+    def __init__(self, handle, axis: int = -1):
+        self.axis = axis
+        if isinstance(handle, np.ndarray):
+            self._arr = handle
+            self.futures = None
+            return
+        self._arr = None
+        pool = _get_fetch_pool()
+        self.futures = [
+            pool.submit(np.asarray, p) for p in _chunk_slices(handle, axis)
+        ]
+
+    def result(self) -> np.ndarray:
+        if self._arr is not None:
+            return self._arr
+        arrs = [f.result() for f in self.futures]
+        self._arr = (
+            np.concatenate(arrs, axis=self.axis) if len(arrs) > 1 else arrs[0]
+        )
+        return self._arr
+
+
+def _chunked_d2h(handle, axis: int) -> np.ndarray:
+    """Synchronous chunked device->host copy."""
+    if isinstance(handle, np.ndarray):
+        return handle
+    return _AsyncFetch(handle, axis).result()
+
+
+def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
+                    mode: Optional[str] = None):
+    """Dispatch all column blocks of one strip; device-concat the packed
+    outputs into a single (P, ti, span) handle (one logical transfer)."""
+    handles = [
+        eng.block(m1, m2, i0, j0, ti, tj, mode) for j0 in col_starts
+    ]
+    if eng.backend == "numpy":
+        return np.concatenate(handles, axis=-1)
+    import jax.numpy as jnp
+
+    return jnp.concatenate(handles, axis=-1) if len(handles) > 1 else handles[0]
+
+
+def _fetch_strip(
+    eng: _BlockEngine,
+    handle,
+    valid_rows: Optional[int] = None,
+    valid_cols: Optional[int] = None,
+    redispatch=None,
+) -> np.ndarray:
+    """Strip transfer + unpack -> (G, rows, cols) int32 counters.
+
+    ``handle`` is an _AsyncFetch (eagerly started transfer) or a device
+    array.  With narrow packing, saturated lanes (a counter >= 255 within
+    the valid region) trigger one wide redispatch via ``redispatch()``.
+    ``valid_rows``/``valid_cols`` bound the region that will be emitted —
+    padding rows/columns saturate by construction and are ignored.
+    """
+    arr = handle.result() if isinstance(handle, _AsyncFetch) else (
+        handle if isinstance(handle, np.ndarray)
+        else _chunked_d2h(handle, axis=-1)
+    )
+    if eng.backend == "numpy":
+        return arr
+    vr = arr.shape[1] if valid_rows is None else valid_rows
+    vc = arr.shape[2] if valid_cols is None else valid_cols
+    arr = arr[:, :vr, :vc]
+    if eng.pack_mode == "narrow":
+        from distance_tpu.ops.packing import unpack_host_narrow
+
+        counters = unpack_host_narrow(eng.measure, arr, eng.width)
+        if counters is not None:
+            return counters
+        # Rare: a counter saturated 8 bits — refetch this strip wide.
+        wide = redispatch("wide")
+        arr = _chunked_d2h(wide, axis=-1)[:, :vr, :vc]
+        from distance_tpu.ops.packing import unpack_host
+
+        return unpack_host(eng.measure, arr)
+    if eng.packed:
+        from distance_tpu.ops.packing import unpack_host
+
+        return unpack_host(eng.measure, arr)
+    return arr
+
+
+def _pipeline_strips(strip_iter, emit_fn):
+    """Run dispatch ahead of fetch+emit (the bounded-channel analog)."""
+    pending: List[tuple] = []
+    for item in strip_iter:
+        pending.append(item)
+        while len(pending) > STRIP_LOOKAHEAD:
+            emit_fn(pending.pop(0))
+    while pending:
+        emit_fn(pending.pop(0))
+
+
 def _sweep_square(setup: Setup, aln: Alignment) -> None:
     n, width = aln.n, aln.width
     setup.writer.header()
@@ -316,31 +470,33 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     ti, tj = _choose_tiles(n, n, setup)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     mat = eng.prepare(aln.matrix, max(ti, tj))
-
     plan = eng.plan
-    for i0 in range(0, n - 1 if n > 1 else n, ti):
+
+    def strips():
+        for i0 in range(0, n - 1, ti):
+            col_starts = list(range(i0, n, tj))
+            yield i0, col_starts, _AsyncFetch(
+                _dispatch_strip(eng, mat, mat, i0, col_starts, ti, tj)
+            )
+
+    def emit(item):
+        i0, col_starts, handle = item
         si = min(ti, n - i0)
-        # Dispatch every column block of this strip (async on device).
-        handles = []
-        col_starts = list(range(i0, n, tj))
-        for j0 in col_starts:
-            handles.append(eng.block(mat, mat, i0, j0, ti, tj))
-        # Gather into a strip buffer covering columns [i0, i0 + span).
-        span = col_starts[-1] + tj - i0 if col_starts else 0
-        strip = np.zeros((len(plan.counters), ti, span), dtype=np.int32)
-        for j0, h in zip(col_starts, handles):
-            blk = eng.to_host(h)
-            strip[:, : blk.shape[1], j0 - i0 : j0 - i0 + blk.shape[2]] = blk
-        # Emit rows i0..i0+si-1 in order: (i, j) for j in i+1..n.
-        local = []
-        cols = []
+        strip = _fetch_strip(
+            eng, handle, si, n - i0,
+            redispatch=lambda mode: _dispatch_strip(
+                eng, mat, mat, i0, col_starts, ti, tj, mode
+            ),
+        )
+        # Rows i0..i0+si-1 in order: (i, j) for j in i+1..n.
+        local, cols = [], []
         for li in range(si):
             i = i0 + li
             js = np.arange(i + 1, n, dtype=np.int64)
             local.append(np.full(js.shape, li, dtype=np.int64))
             cols.append(js)
         if not cols:
-            continue
+            return
         local_rows = np.concatenate(local)
         col_idx = np.concatenate(cols)
         counters = {
@@ -349,6 +505,8 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         }
         pair_i = (local_rows + i0).astype(np.int64)
         _emit_pairs(setup, aln, aln, pair_i, col_idx, counters)
+
+    _pipeline_strips(strips(), emit)
 
 
 def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
@@ -361,18 +519,23 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     m1 = eng.prepare(aln1.matrix, ti)
     m2 = eng.prepare(aln2.matrix, tj)
     plan = eng.plan
+    col_starts = list(range(0, n2, tj))
 
-    for i0 in range(0, n1, ti):
+    def strips():
+        for i0 in range(0, n1, ti):
+            yield i0, _AsyncFetch(
+                _dispatch_strip(eng, m1, m2, i0, col_starts, ti, tj)
+            )
+
+    def emit(item):
+        i0, handle = item
         si = min(ti, n1 - i0)
-        handles = []
-        col_starts = list(range(0, n2, tj))
-        for j0 in col_starts:
-            handles.append(eng.block(m1, m2, i0, j0, ti, tj))
-        span = col_starts[-1] + tj if col_starts else 0
-        strip = np.zeros((len(plan.counters), ti, span), dtype=np.int32)
-        for j0, h in zip(col_starts, handles):
-            blk = eng.to_host(h)
-            strip[:, : blk.shape[1], j0 : j0 + blk.shape[2]] = blk
+        strip = _fetch_strip(
+            eng, handle, si, n2,
+            redispatch=lambda mode: _dispatch_strip(
+                eng, m1, m2, i0, col_starts, ti, tj, mode
+            ),
+        )
         local_rows = np.repeat(np.arange(si, dtype=np.int64), n2)
         col_idx = np.tile(np.arange(n2, dtype=np.int64), si)
         counters = {
@@ -381,6 +544,8 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
         }
         pair_i = local_rows + i0
         _emit_pairs(setup, aln1, aln2, pair_i, col_idx, counters)
+
+    _pipeline_strips(strips(), emit)
 
 
 # ---------------------------------------------------------------------------
@@ -401,15 +566,11 @@ def _run_stream(setup: Setup) -> None:
     m1 = eng.prepare(aln.matrix, ti)
     plan = eng.plan
 
-    pending: List[Tuple[List[str], Optional[np.ndarray], List[object], int]] = []
+    pending: List[tuple] = []
 
     def flush_one() -> None:
-        ids2, bcounts, handles, bn = pending.pop(0)
-        strip = np.zeros((len(plan.counters), _ceil(n1, ti) * ti, dev_batch),
-                         dtype=np.int32)
-        for i0, h in handles:
-            blk = eng.to_host(h)
-            strip[:, i0 : i0 + blk.shape[1], : blk.shape[2]] = blk
+        ids2, bcounts, handle, bn, redispatch = pending.pop(0)
+        strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
         # Emission: for each streamed record (outer), all loaded (inner)
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
         local_cols = np.repeat(np.arange(bn, dtype=np.int64), n1)
@@ -438,15 +599,55 @@ def _run_stream(setup: Setup) -> None:
             m2 = jnp.asarray(
                 _pad_to(batch.matrix, dev_batch, m1.shape[1])
             )
-        handles = []
-        for i0 in range(0, n1, ti):
-            handles.append((i0, eng.block(m1, m2, i0, 0, ti, dev_batch)))
-        pending.append((batch.ids, batch.base_counts, handles, bn))
+        def dispatch(m2=m2, mode=None):
+            handles = [
+                eng.block(m1, m2, i0, 0, ti, dev_batch, mode)
+                for i0 in range(0, n1, ti)
+            ]
+            if backend == "numpy":
+                return np.concatenate(handles, axis=1)
+            import jax.numpy as jnp
+
+            return (
+                jnp.concatenate(handles, axis=1)
+                if len(handles) > 1
+                else handles[0]
+            )
+
+        pending.append(
+            (batch.ids, batch.base_counts, _AsyncFetch(dispatch(), axis=1),
+             bn, lambda mode, m2=m2: dispatch(m2, mode))
+        )
         # Keep at most 2 batches in flight (double buffering).
         while len(pending) > 2:
             flush_one()
     while pending:
         flush_one()
+
+
+def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
+                        valid_cols: int, redispatch) -> np.ndarray:
+    """Chunked fetch of a streamed batch's (P, n1_pad, batch) counters."""
+    arr = handle.result() if isinstance(handle, _AsyncFetch) else handle
+    if eng.backend == "numpy":
+        return arr
+    arr = arr[:, :valid_rows, :valid_cols]
+    if eng.pack_mode == "narrow":
+        from distance_tpu.ops.packing import unpack_host_narrow
+
+        counters = unpack_host_narrow(eng.measure, arr, eng.width)
+        if counters is not None:
+            return counters
+        wide = redispatch("wide")
+        arr = _chunked_d2h(wide, axis=1)[:, :valid_rows, :valid_cols]
+        from distance_tpu.ops.packing import unpack_host
+
+        return unpack_host(eng.measure, arr)
+    if eng.packed:
+        from distance_tpu.ops.packing import unpack_host
+
+        return unpack_host(eng.measure, arr)
+    return arr
 
 
 def _ceil(a: int, b: int) -> int:

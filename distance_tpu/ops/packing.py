@@ -2,25 +2,40 @@
 
 Counters are bounded by the alignment width L, so for L < 2^16 every
 counter fits in 16 bits and a measure's counter set packs into one or two
-uint32 lanes per pair:
+32-bit lanes per pair ("wide" packing):
 
-    n, n_high : [diff]                    -> uint16         (2 B/pair)
-    raw, jc69 : [diff<<16 | same]         -> 1 x uint32     (4 B/pair)
-    k80       : [same<<16 | ts, tv]       -> uint32+uint16  (6 B/pair)
-    tn93      : [same<<16 | kk, p1<<16|p2]-> 2 x uint32     (8 B/pair)
+    n, n_high : [diff]                    -> 16-bit         (2 B/pair)
+    raw, jc69 : [diff<<16 | same]         -> 1 x 32-bit     (4 B/pair)
+    k80       : [same<<16 | ts, tv]       -> 2 x 32-bit     (8 B/pair)
+    tn93      : [same<<16 | kk, p1<<16|p2]-> 2 x 32-bit     (8 B/pair)
+
+On top of that, real alignments are low-diversity: per-pair difference
+counts are tiny and agreement counts are close to L.  "Narrow" packing
+exploits this with saturating 8-bit lanes (value 255 = saturated):
+
+    n, n_high : [diff]                          1 B/pair
+    raw, jc69 : [diff, L - (same+diff)]         2 B/pair
+    k80       : [L - count_L, ts, tv]           3 B/pair
+    tn93      : [L - kk, kk - same, p1, p2]     4 B/pair
+
+The host detects any 255 lane and falls back to a wide refetch of that
+strip — exactness is never compromised, narrow packing is purely a
+transfer-size optimization (2-4x on top of wide).
 
 Packing happens in-graph on device (jnp); unpacking is vectorized NumPy
-on host.  Lossless by construction — tests assert round trips on the full
-counter range.  For L >= 2^16 the engine transfers raw int32 counters.
+on host.  Packed words travel as SIGNED ints (some device transports
+cannot move unsigned arrays).  For L >= 2^16 the engine transfers raw
+int32 counters.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
-PACK_LIMIT = 1 << 16  # alignment width must be < 2^16 to pack
+PACK_LIMIT = 1 << 16  # alignment width must be < 2^16 to pack (wide)
+NARROW_SAT = 255
 
 
 def _bitcast(a, dtype, xp):
@@ -41,7 +56,7 @@ def pack_device(measure: str, counters, xp):
     """
     c = counters
     if measure in ("n", "n_high"):
-        return _bitcast(c[0].astype(xp.uint16), xp.int16, xp)
+        return _bitcast(c[0].astype(xp.uint16), xp.int16, xp)[None]
     if measure in ("raw", "jc69"):
         w0 = (c[0].astype(xp.uint32) << 16) | c[1].astype(xp.uint32)
         return _bitcast(w0, xp.int32, xp)[None]
@@ -61,7 +76,7 @@ def unpack_host(measure: str, packed: np.ndarray) -> np.ndarray:
     """Packed host array -> (G, ...) int32 counters (same order as the
     measure's CounterPlan)."""
     if measure in ("n", "n_high"):
-        return packed.view(np.uint16).astype(np.int32)[None]
+        return packed.view(np.uint16).astype(np.int32)
     p = packed.view(np.uint32)
     hi0 = (p[0] >> 16).astype(np.int32)
     lo0 = (p[0] & 0xFFFF).astype(np.int32)
@@ -73,4 +88,56 @@ def unpack_host(measure: str, packed: np.ndarray) -> np.ndarray:
         hi1 = (p[1] >> 16).astype(np.int32)
         lo1 = (p[1] & 0xFFFF).astype(np.int32)
         return np.stack([hi0, lo0, hi1, lo1])
+    raise ValueError(measure)
+
+
+# ---------------------------------------------------------------------------
+# Narrow (saturating 8-bit) packing
+# ---------------------------------------------------------------------------
+
+def pack_device_narrow(measure: str, counters, width: int, xp):
+    """(G, m, n) int32 counters -> (P, m, n) int8 saturating lanes."""
+    c = counters
+
+    def sat(v):
+        return _bitcast(
+            xp.minimum(v, NARROW_SAT).astype(xp.uint8), xp.int8, xp
+        )
+
+    if measure in ("n", "n_high"):
+        lanes = [sat(c[0])]
+    elif measure in ("raw", "jc69"):
+        lanes = [sat(c[0]), sat(width - (c[0] + c[1]))]
+    elif measure == "k80":
+        lanes = [sat(width - (c[0] + c[1] + c[2])), sat(c[1]), sat(c[2])]
+    elif measure == "tn93":
+        lanes = [sat(width - c[1]), sat(c[1] - c[0]), sat(c[2]), sat(c[3])]
+    else:
+        raise ValueError(measure)
+    return xp.stack(lanes)
+
+
+def unpack_host_narrow(
+    measure: str, packed: np.ndarray, width: int
+) -> Optional[np.ndarray]:
+    """Narrow lanes -> (G, ...) int32 counters, or None if any lane
+    saturated (caller must refetch wide)."""
+    a = packed.view(np.uint8)
+    if (a == NARROW_SAT).any():
+        return None
+    a = a.astype(np.int32)
+    if measure in ("n", "n_high"):
+        return a
+    if measure in ("raw", "jc69"):
+        diff = a[0]
+        same = (width - a[1]) - diff
+        return np.stack([diff, same])
+    if measure == "k80":
+        count_l = width - a[0]
+        same = count_l - a[1] - a[2]
+        return np.stack([same, a[1], a[2]])
+    if measure == "tn93":
+        kk = width - a[0]
+        same = kk - a[1]
+        return np.stack([same, kk, a[2], a[3]])
     raise ValueError(measure)

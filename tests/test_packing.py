@@ -32,6 +32,62 @@ def test_roundtrip_jax(measure, rng):
     assert np.array_equal(out, c)
 
 
+@pytest.mark.parametrize("measure", MEASURES)
+def test_narrow_roundtrip(measure, rng):
+    from distance_tpu.ops.packing import pack_device_narrow, unpack_host_narrow
+
+    plan = get_plan(measure)
+    g = len(plan.counters)
+    width = 1000
+    # construct consistent small counters: same ~ width, others < 255
+    same = width - rng.integers(0, 200, size=(4, 6)).astype(np.int32)
+    small = rng.integers(0, 100, size=(g, 4, 6)).astype(np.int32)
+    c = small.copy()
+    if measure in ("raw", "jc69"):
+        c[1] = width - c[0] - rng.integers(0, 100, size=(4, 6))
+    elif measure == "k80":
+        c[0] = width - c[1] - c[2] - rng.integers(0, 50, size=(4, 6))
+    elif measure == "tn93":
+        c[1] = width - rng.integers(0, 100, size=(4, 6))  # kk
+        c[0] = c[1] - rng.integers(0, 100, size=(4, 6))  # same
+    packed = pack_device_narrow(measure, c, width, np)
+    assert packed.dtype == np.int8
+    out = unpack_host_narrow(measure, packed, width)
+    assert out is not None
+    assert np.array_equal(out, c)
+
+
+def test_narrow_detects_saturation():
+    from distance_tpu.ops.packing import pack_device_narrow, unpack_host_narrow
+
+    width = 1000
+    c = np.array([[[300]], [[650]]], dtype=np.int32)  # diff=300 saturates
+    packed = pack_device_narrow("raw", c, width, np)
+    assert unpack_host_narrow("raw", packed, width) is None
+
+
+def test_engine_wide_refetch_on_diverse_data():
+    """Sequences differing at >255 sites force the wide refetch path."""
+    from tests.test_golden import run_engine, expected_square
+
+    rng = np.random.default_rng(123)
+    width = 600
+    # two clusters differing everywhere -> diff counts ~ width > 255
+    base1 = rng.choice(list("AG"), size=width)
+    base2 = rng.choice(list("CT"), size=width)
+    recs = []
+    for i in range(6):
+        src = base1 if i % 2 == 0 else base2
+        s = src.copy()
+        for p in rng.choice(width, 5, replace=False):
+            s[p] = rng.choice(list("ACGT"))
+        recs.append((f"s{i}", "".join(s)))
+    fasta = ("".join(f">{r}\n{s}\n" for r, s in recs)).encode()
+    for measure in MEASURES:
+        got, _ = run_engine(measure, fasta, backend="xla", tile_i=8, tile_j=8)
+        assert got == expected_square(measure, fasta), measure
+
+
 def test_engine_packed_blocks_match_unpacked():
     """XLA backend with packing produces the same TSV as numpy backend."""
     import io
