@@ -290,8 +290,18 @@ def _emit_pairs(
     pair_i: np.ndarray,
     pair_j: np.ndarray,
     counters: Dict[str, np.ndarray],
+    same_offset: int = 0,
 ) -> None:
-    """Finalize + write one flat batch of pairs (already in order)."""
+    """Finalize + write one flat batch of pairs (already in order).
+
+    ``same_offset`` re-adds exact-base invariant columns dropped by
+    column pruning (they contribute +1 to ``same``/``kk`` per pair and
+    nothing to any other counter).
+    """
+    if same_offset:
+        for key in ("same", "kk"):
+            if key in counters:
+                counters[key] = counters[key] + same_offset
     if setup.measure == "tn93":
         qc = aln1.base_counts[pair_i]
         tc = aln2.base_counts[pair_j]
@@ -299,6 +309,38 @@ def _emit_pairs(
         qc = tc = None
     values = finalize_block(setup.measure, counters, qc, tc)
     setup.writer.rows(aln1.ids, aln2.ids, pair_i, pair_j, values)
+
+
+# Prune when at least this fraction of columns is invariant.
+PRUNE_MIN_FRACTION = 0.25
+
+
+def _prune_invariant_columns(mats: Sequence[np.ndarray]):
+    """Drop columns where every row (across all given matrices) holds the
+    same code — the TPU-native analog of the reference's
+    consensus-difference sparsification (measures.rs:28-53), generalized
+    to every measure.
+
+    An invariant column contributes nothing to any difference counter; if
+    its common code is an exact base (bit 3) it contributes exactly +1
+    per pair to ``same`` (and hence tn93's ``kk``), re-added as a scalar
+    offset at finalization.  Exactness is unconditional.
+
+    Returns (pruned_mats, same_offset, pruned_width) or None if pruning
+    is not worthwhile.
+    """
+    first = mats[0][0:1]
+    inv = None
+    for m in mats:
+        eq = (m == first).all(axis=0)
+        inv = eq if inv is None else (inv & eq)
+    frac = float(inv.mean()) if inv.size else 0.0
+    if frac < PRUNE_MIN_FRACTION:
+        return None
+    keep = ~inv
+    same_offset = int((inv & ((first[0] & 8) == 8)).sum())
+    pruned = [np.ascontiguousarray(m[:, keep]) for m in mats]
+    return pruned, same_offset, int(keep.sum())
 
 
 def _run_load(setup: Setup) -> None:
@@ -466,10 +508,15 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     setup.writer.header()
     if n < 2:
         return
+    source = aln.matrix
+    same_offset = 0
+    pruned = _prune_invariant_columns([aln.matrix])
+    if pruned is not None:
+        (source,), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, 0.5 * n * n * max(width, 1))
     ti, tj = _choose_tiles(n, n, setup)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
-    mat = eng.prepare(aln.matrix, max(ti, tj))
+    mat = eng.prepare(source, max(ti, tj))
     plan = eng.plan
 
     def strips():
@@ -504,7 +551,8 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
             for k, name in enumerate(plan.counters)
         }
         pair_i = (local_rows + i0).astype(np.int64)
-        _emit_pairs(setup, aln, aln, pair_i, col_idx, counters)
+        _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
+                    same_offset)
 
     _pipeline_strips(strips(), emit)
 
@@ -513,11 +561,16 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     n1, n2 = aln1.n, aln2.n
     width = aln1.width
     setup.writer.header()
+    src1, src2 = aln1.matrix, aln2.matrix
+    same_offset = 0
+    pruned = _prune_invariant_columns([aln1.matrix, aln2.matrix])
+    if pruned is not None:
+        (src1, src2), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, float(n1) * n2 * max(width, 1))
     ti, tj = _choose_tiles(n1, n2, setup)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
-    m1 = eng.prepare(aln1.matrix, ti)
-    m2 = eng.prepare(aln2.matrix, tj)
+    m1 = eng.prepare(src1, ti)
+    m2 = eng.prepare(src2, tj)
     plan = eng.plan
     col_starts = list(range(0, n2, tj))
 
@@ -543,7 +596,8 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
             for k, name in enumerate(plan.counters)
         }
         pair_i = local_rows + i0
-        _emit_pairs(setup, aln1, aln2, pair_i, col_idx, counters)
+        _emit_pairs(setup, aln1, aln2, pair_i, col_idx, counters,
+                    same_offset)
 
     _pipeline_strips(strips(), emit)
 
