@@ -172,14 +172,31 @@ def _resolve_backend(backend: str, pairsites: float) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _device_mesh(n_blocks: int):
+    """A 1-D "dp" mesh over all local devices, if block columns divide
+    evenly; None for single-device runs."""
+    import jax
+
+    ndev = jax.device_count()
+    if ndev <= 1 or n_blocks % ndev != 0:
+        return None
+    return jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
-                  pack_mode: str = "none", width: int = 0):
+                  pack_mode: str = "none", width: int = 0,
+                  sharded: bool = False):
     """Jitted (mat1, mat2, i0, j0) -> counter block.
 
     ``pack_mode``: "none" -> (G, ti, tj) int32; "wide"/"narrow" -> the
     packed representations from ops/packing.py — packing runs on device
     so the device->host transfer shrinks to 1-8 bytes per pair.
+
+    ``sharded``: partition the block's column (target) axis across all
+    devices — the sequence matrix is replicated, GSPMD splits the GEMM so
+    each chip computes tj/n_devices columns (pair-data parallelism;
+    statically balanced since every tile costs the same).
     """
     import jax
     import jax.numpy as jnp
@@ -202,6 +219,15 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
             return pack_device(measure, c, jnp)
         return c
 
+    if sharded:
+        mesh = _device_mesh(tj)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.jit(
+                f,
+                out_shardings=NamedSharding(mesh, P(None, None, "dp")),
+            )
     return jax.jit(f)
 
 
@@ -224,6 +250,9 @@ class _BlockEngine:
         from distance_tpu.ops.packing import PACK_LIMIT
 
         self.packed = backend != "numpy" and 0 < width < PACK_LIMIT
+        # Multi-chip pair-data parallelism (xla backend): replicate the
+        # matrix, shard each block's column axis across the device mesh.
+        self.sharded = backend == "xla" and _device_mesh(tj) is not None
 
     def prepare(self, matrix: np.ndarray, max_block: int) -> object:
         """Pad and (for device backends) upload a sequence matrix.
@@ -241,9 +270,16 @@ class _BlockEngine:
         l_pad = -(-max(width, 1) // 128) * 128
         padded = np.zeros((n_pad, l_pad), dtype=np.uint8)
         padded[:n, :width] = matrix
+        import jax
         import jax.numpy as jnp
 
-        dev = jnp.asarray(padded)
+        if self.sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = _device_mesh(self.tj)
+            dev = jax.device_put(padded, NamedSharding(mesh, P(None, None)))
+        else:
+            dev = jnp.asarray(padded)
         # Warm up the device->host path once: on some transports the very
         # first D2H in a process can stall for minutes; a tiny transfer
         # here absorbs that.
@@ -260,7 +296,7 @@ class _BlockEngine:
         if mode is None:
             mode = self.pack_mode
         fn = _jit_block_fn(self.measure, self.backend, ti, tj, mode,
-                           self.width)
+                           self.width, self.sharded and tj == self.tj)
         return fn(m1, m2, i0, j0)
 
     @property

@@ -47,6 +47,26 @@ def test_sharded_counters_exact(measure, mesh8):
     assert np.array_equal(got, want)
 
 
+def test_engine_auto_shards_over_devices():
+    """With 8 virtual devices and tj % ndev == 0, the engine's xla
+    backend partitions blocks across the mesh and output bytes are
+    unchanged."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from distance_tpu.engine import _BlockEngine
+    from tests.conftest import make_fasta, random_seqs
+    from tests.test_golden import expected_square, run_engine
+
+    eng = _BlockEngine("raw", "xla", 8, 16, 100)
+    assert eng.sharded
+    rng = np.random.default_rng(9)
+    fasta = make_fasta(random_seqs(rng, 30, 120, amb_frac=0.2))
+    got, _ = run_engine("raw", fasta, backend="xla", tile_i=8, tile_j=16)
+    assert got == expected_square("raw", fasta)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as ge
 
