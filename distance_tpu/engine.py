@@ -254,19 +254,25 @@ class _BlockEngine:
         # matrix, shard each block's column axis across the device mesh.
         self.sharded = backend == "xla" and _device_mesh(tj) is not None
 
-    def prepare(self, matrix: np.ndarray, max_block: int) -> object:
+    def prepare(self, matrix: np.ndarray, max_block: int,
+                row_tile: Optional[int] = None) -> object:
         """Pad and (for device backends) upload a sequence matrix.
 
         ``max_block`` is the largest tile size whose slices must stay in
-        bounds; rows are padded so any aligned slice fits.
+        bounds; rows are padded so any aligned slice fits.  With
+        ``row_tile``, rows are padded to a multiple of it instead (used
+        by the out-of-core sweep for super-row staging).
         """
         n, width = matrix.shape
         if self.backend == "numpy":
             return matrix
-        tile = max_block
-        n_strips = max(1, -(-n // self.ti))
-        n_pad = (n_strips - 1) * self.ti + max(tile, self.ti)
-        n_pad = max(n_pad, tile)
+        if row_tile is not None:
+            n_pad = -(-max(n, 1) // row_tile) * row_tile
+        else:
+            tile = max_block
+            n_strips = max(1, -(-n // self.ti))
+            n_pad = (n_strips - 1) * self.ti + max(tile, self.ti)
+            n_pad = max(n_pad, tile)
         l_pad = -(-max(width, 1) // 128) * 128
         padded = np.zeros((n_pad, l_pad), dtype=np.uint8)
         padded[:n, :width] = matrix
@@ -539,6 +545,13 @@ def _pipeline_strips(strip_iter, emit_fn):
         emit_fn(pending.pop(0))
 
 
+# Device-memory budget for resident sequence data; beyond it the blocked
+# out-of-core sweep stages super-rows through HBM.
+HBM_BUDGET_BYTES = int(
+    _os.environ.get("DISTANCE_TPU_HBM_BUDGET", 8 << 30)
+)
+
+
 def _sweep_square(setup: Setup, aln: Alignment) -> None:
     n, width = aln.n, aln.width
     setup.writer.header()
@@ -550,6 +563,12 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     if pruned is not None:
         (source,), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, 0.5 * n * n * max(width, 1))
+    if (
+        backend != "numpy"
+        and source.size > HBM_BUDGET_BYTES
+    ):
+        _sweep_square_blocked(setup, aln, source, width, same_offset, backend)
+        return
     ti, tj = _choose_tiles(n, n, setup)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     mat = eng.prepare(source, max(ti, tj))
@@ -591,6 +610,103 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
                     same_offset)
 
     _pipeline_strips(strips(), emit)
+
+
+# Host RAM allowed for one emission group's counter buffer (out-of-core).
+HOST_BUF_BUDGET = int(
+    _os.environ.get("DISTANCE_TPU_HOST_BUF_BUDGET", 4 << 30)
+)
+
+
+def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
+                          width: int, same_offset: int, backend: str) -> None:
+    """Out-of-core square sweep for alignments larger than HBM.
+
+    The matrix stays host-resident; X row-groups and Y super-rows are
+    staged through HBM (classic blocked GEMM).  For each emission group
+    of X rows, every Y super-row is swept and the group's counters
+    accumulate in a host buffer; the group's rows then emit in canonical
+    order, so output bytes are identical to the in-core sweep.
+    """
+    n = aln.n
+    ti, tj = _choose_tiles(n, n, setup)
+    eng = _BlockEngine(setup.measure, backend, ti, tj, width)
+    plan = eng.plan
+    l_pad = -(-max(width, 1) // 128) * 128
+
+    # Y super-rows sized to ~1/3 of the HBM budget; X groups bounded by
+    # both the device budget and the host counter-buffer budget.
+    sr_rows = max(tj, (HBM_BUDGET_BYTES // 3 // l_pad) // tj * tj)
+    bytes_per_pair = 4 * len(plan.counters)
+    group_cap = max(ti, int(HOST_BUF_BUDGET // max(1, n * bytes_per_pair))
+                    // ti * ti)
+    group_rows = min(sr_rows, group_cap)
+
+    for g0 in range(0, n - 1, group_rows):
+        g1 = min(g0 + group_rows, n)
+        dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti)
+        span = n - g0
+        bufs = np.zeros((len(plan.counters), g1 - g0, span), dtype=np.int32)
+
+        q_start = (g0 // sr_rows) * sr_rows
+        for q0 in range(q_start, n, sr_rows):
+            q1 = min(q0 + sr_rows, n)
+            if q1 <= g0:
+                continue
+            dev_y = eng.prepare(source[q0:q1], tj, row_tile=tj)
+            sr_items = []
+            for i0_loc in range(0, g1 - g0, ti):
+                abs_i0 = g0 + i0_loc
+                # only columns j > abs_i0 are emitted; start at the
+                # aligned block containing abs_i0 (or 0 if the SR is
+                # entirely to the right)
+                if q1 <= abs_i0 + 1:
+                    continue
+                lo_loc = max(0, ((abs_i0 - q0) // tj) * tj) if q0 <= abs_i0 else 0
+                col_starts = list(range(lo_loc, q1 - q0, tj))
+                handle = _AsyncFetch(_dispatch_strip(
+                    eng, dev_x, dev_y, i0_loc, col_starts, ti, tj
+                ))
+                sr_items.append((i0_loc, col_starts, handle))
+            for i0_loc, col_starts, handle in sr_items:
+                si = min(ti, g1 - g0 - i0_loc)
+                vcols = (q1 - q0) - col_starts[0]
+                strip = _fetch_strip(
+                    eng, handle, si, vcols,
+                    redispatch=lambda mode, i0_loc=i0_loc,
+                    col_starts=col_starts: _dispatch_strip(
+                        eng, dev_x, dev_y, i0_loc, col_starts, ti, tj, mode
+                    ),
+                )
+                c0_abs = q0 + col_starts[0]
+                bufs[
+                    :, i0_loc : i0_loc + si,
+                    c0_abs - g0 : c0_abs - g0 + strip.shape[2],
+                ] = strip
+            dev_y = None
+
+        # Emit the group's rows in canonical order.
+        for i0_loc in range(0, g1 - g0, ti):
+            abs_i0 = g0 + i0_loc
+            si = min(ti, g1 - g0 - i0_loc)
+            local, cols = [], []
+            for li in range(si):
+                i = abs_i0 + li
+                js = np.arange(i + 1, n, dtype=np.int64)
+                local.append(np.full(js.shape, li + i0_loc, dtype=np.int64))
+                cols.append(js)
+            if not cols:
+                continue
+            local_rows = np.concatenate(local)
+            col_idx = np.concatenate(cols)
+            counters = {
+                name: bufs[k, local_rows, col_idx - g0]
+                for k, name in enumerate(plan.counters)
+            }
+            pair_i = (local_rows + g0).astype(np.int64)
+            _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
+                        same_offset)
+        dev_x = None
 
 
 def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
