@@ -167,9 +167,11 @@ def _resolve_backend(backend: str, pairsites: float) -> str:
         return backend
     if pairsites <= SMALL_PROBLEM_PAIRSITES:
         return "numpy"
-    import jax
-
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    # The materialized-feature XLA path measures faster than the fused
+    # Pallas kernel on v5e (216 vs 181 TOPS equiv) and compiles in
+    # seconds rather than minutes, so it is the default device path;
+    # --backend pallas remains available.
+    return "xla"
 
 
 def _device_mesh(n_blocks: int):

@@ -63,8 +63,9 @@ def _eval_prim_i32(prim, v32):
     raise ValueError(f"unknown primitive {kind!r}")
 
 
-def _features(v: jnp.ndarray, plan: CounterPlan, side: str) -> list:
-    """Per-channel bf16 feature tiles for one code tile (TI, TS)."""
+def _features(v: jnp.ndarray, plan: CounterPlan, side: str,
+              dtype=jnp.bfloat16) -> list:
+    """Per-channel feature tiles for one code tile (TI, TS)."""
     v32 = v.astype(jnp.int32)
     feats = []
     for sign, f_prim, g_prim in plan.channels:
@@ -72,25 +73,34 @@ def _features(v: jnp.ndarray, plan: CounterPlan, side: str) -> list:
         feat = _eval_prim_i32(prim, v32)
         if side == "f" and sign < 0:
             feat = -feat
-        feats.append(feat.astype(jnp.bfloat16))
+        feats.append(feat.astype(dtype))
     return feats
 
 
-def _kernel(x_ref, y_ref, *out_refs, plan: CounterPlan):
+# Channels concatenated per dot: balances Mosaic compile time (many tiny
+# dots) against VMEM pressure (one giant concatenated operand).
+_CONCAT_CHANNELS = 4
+
+
+def _kernel(x_ref, y_ref, *out_refs, plan: CounterPlan, dtype, prefer):
     s = pl.program_id(2)
-    fx = _features(x_ref[:], plan, "f")  # list of (TI, TS) bf16
-    gy = _features(y_ref[:], plan, "g")  # list of (TJ, TS) bf16
+    fx = _features(x_ref[:], plan, "f", dtype)  # list of (TI, TS)
+    gy = _features(y_ref[:], plan, "g", dtype)  # list of (TJ, TS)
     for gi, name in enumerate(plan.counters):
         lo, hi = plan.slice_of(name)
-        # Per-channel dots accumulated in f32 — small working set, no
-        # concatenated (TI, r*TS) mega-buffers (those stall Mosaic).
         acc = None
-        for k in range(lo, hi):
+        for k0 in range(lo, hi, _CONCAT_CHANNELS):
+            k1 = min(k0 + _CONCAT_CHANNELS, hi)
+            if k1 - k0 > 1:
+                a = jnp.concatenate(fx[k0:k1], axis=1)
+                b = jnp.concatenate(gy[k0:k1], axis=1)
+            else:
+                a, b = fx[k0], gy[k0]
             d = jax.lax.dot_general(
-                fx[k],
-                gy[k],
+                a,
+                b,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=prefer,
             )
             acc = d if acc is None else acc + d
         out_ref = out_refs[gi]
@@ -111,12 +121,13 @@ def _pick_site_tile(l_pad: int) -> int:
     raise ValueError(f"alignment width {l_pad} not a multiple of 128")
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+@functools.partial(jax.jit, static_argnames=("plan", "interpret", "dtype"))
 def counters_pallas(
     x_codes: jnp.ndarray,
     y_codes: jnp.ndarray,
     plan: CounterPlan,
     interpret: bool | None = None,
+    dtype=jnp.int8,
 ) -> jnp.ndarray:
     """Counters for every (x, y) pair via the fused Pallas kernel.
 
@@ -139,9 +150,10 @@ def counters_pallas(
     tj = 256 if n % 256 == 0 else n
     grid = (m // ti, n // tj, l_pad // ts)
 
-    kernel = functools.partial(_kernel, plan=plan)
+    prefer = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    kernel = functools.partial(_kernel, plan=plan, dtype=dtype, prefer=prefer)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((m, n), jnp.float32) for _ in plan.counters
+        jax.ShapeDtypeStruct((m, n), prefer) for _ in plan.counters
     )
     outs = pl.pallas_call(
         kernel,
