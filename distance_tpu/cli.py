@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Compute backend (engine extension; default auto)",
     )
     p.add_argument(
+        "--shard", default=None, metavar="K/N",
+        help=(
+            "Multi-host sharding (engine extension): compute the K-th of"
+            " N balanced row-strip ranges (K in 0..N-1). Concatenating"
+            " the N outputs in K order reproduces the unsharded file"
+        ),
+    )
+    p.add_argument(
         "-V", "--version", action="version",
         version="distance-tpu 0.1.0",
     )

@@ -62,6 +62,10 @@ class Setup:
     consensus: Optional[np.ndarray] = None
     tile_i: int = TILE_I
     tile_j: int = TILE_J
+    # Multi-host sharding: (k, N) — this process handles the k-th of N
+    # balanced contiguous row-strip ranges; concatenating the N outputs
+    # in k order reproduces the single-host file byte-for-byte.
+    shard: Optional[Tuple[int, int]] = None
 
 
 def set_up(args) -> Setup:
@@ -120,6 +124,25 @@ def set_up(args) -> Setup:
     else:
         n_threads = max(1, args.threads)
 
+    shard = None
+    shard_arg = getattr(args, "shard", None)
+    if shard_arg:
+        try:
+            k_s, n_s = shard_arg.split("/")
+            shard = (int(k_s), int(n_s))
+        except ValueError:
+            raise DistanceError(
+                f"Invalid --shard '{shard_arg}': expected K/N"
+            ) from None
+        if shard[1] < 1 or not (0 <= shard[0] < shard[1]):
+            raise DistanceError(
+                f"Invalid --shard '{shard_arg}': need 0 <= K < N"
+            )
+        if streamed is not None:
+            raise DistanceError(
+                "--shard is not supported together with -s/--stream"
+            )
+
     return Setup(
         loaded=loaded,
         streamed=streamed,
@@ -129,11 +152,14 @@ def set_up(args) -> Setup:
         batchsize=max(1, args.batchsize),
         backend=getattr(args, "backend", "auto") or "auto",
         consensus=cons,
+        shard=shard,
     )
 
 
 def run(setup: Setup) -> None:
     """Dispatch to the in-memory or streamed driver (lib.rs:490-498)."""
+    if setup.shard is not None and setup.shard[0] != 0:
+        setup.writer.suppress_header()
     try:
         if setup.streamed is not None:
             _run_stream(setup)
@@ -554,9 +580,36 @@ HBM_BUDGET_BYTES = int(
 )
 
 
+def _split_strips(weights: List[int], shard: Optional[Tuple[int, int]]):
+    """Balanced contiguous split of strips by pair-count weight.
+
+    Returns the [a, b) strip-index range for this shard (the whole range
+    when unsharded).  Boundaries are where the cumulative weight crosses
+    total*j/N, so every shard gets ~equal pairs even though square-mode
+    strips shrink toward the bottom of the triangle.
+    """
+    if shard is None:
+        return 0, len(weights)
+    k, nshards = shard
+    total = sum(weights) or 1
+    cum = 0
+    bounds = [0]
+    target_idx = 1
+    for idx, w in enumerate(weights):
+        cum += w
+        while target_idx < nshards and cum >= total * target_idx / nshards:
+            bounds.append(idx + 1)
+            target_idx += 1
+    while len(bounds) < nshards:
+        bounds.append(len(weights))
+    bounds.append(len(weights))
+    return bounds[k], bounds[k + 1]
+
+
 def _sweep_square(setup: Setup, aln: Alignment) -> None:
     n, width = aln.n, aln.width
-    setup.writer.header()
+    if setup.shard is None or setup.shard[0] == 0:
+        setup.writer.header()
     if n < 2:
         return
     source = aln.matrix
@@ -576,8 +629,15 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     mat = eng.prepare(source, max(ti, tj))
     plan = eng.plan
 
+    strip_starts = list(range(0, n - 1, ti))
+    weights = [
+        sum(n - 1 - i for i in range(i0, min(i0 + ti, n)))
+        for i0 in strip_starts
+    ]
+    a, b = _split_strips(weights, setup.shard)
+
     def strips():
-        for i0 in range(0, n - 1, ti):
+        for i0 in strip_starts[a:b]:
             col_starts = list(range(i0, n, tj))
             yield i0, col_starts, _AsyncFetch(
                 _dispatch_strip(eng, mat, mat, i0, col_starts, ti, tj)
@@ -644,8 +704,20 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                     // ti * ti)
     group_rows = min(sr_rows, group_cap)
 
-    for g0 in range(0, n - 1, group_rows):
-        g1 = min(g0 + group_rows, n)
+    # Multi-host sharding: restrict to this shard's strip row range.
+    strip_starts = list(range(0, n - 1, ti))
+    weights = [
+        sum(n - 1 - i for i in range(i0, min(i0 + ti, n)))
+        for i0 in strip_starts
+    ]
+    a, b = _split_strips(weights, setup.shard)
+    if a >= b:
+        return
+    row_lo = strip_starts[a]
+    row_hi = min(n, strip_starts[b - 1] + ti)
+
+    for g0 in range(row_lo, row_hi, group_rows):
+        g1 = min(g0 + group_rows, row_hi, n)
         dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti)
         span = n - g0
         bufs = np.zeros((len(plan.counters), g1 - g0, span), dtype=np.int32)
@@ -714,7 +786,8 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
 def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     n1, n2 = aln1.n, aln2.n
     width = aln1.width
-    setup.writer.header()
+    if setup.shard is None or setup.shard[0] == 0:
+        setup.writer.header()
     src1, src2 = aln1.matrix, aln2.matrix
     same_offset = 0
     pruned = _prune_invariant_columns([aln1.matrix, aln2.matrix])
@@ -728,8 +801,12 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     plan = eng.plan
     col_starts = list(range(0, n2, tj))
 
+    strip_starts = list(range(0, n1, ti))
+    weights = [min(ti, n1 - i0) * n2 for i0 in strip_starts]
+    a, b = _split_strips(weights, setup.shard)
+
     def strips():
-        for i0 in range(0, n1, ti):
+        for i0 in strip_starts[a:b]:
             yield i0, _AsyncFetch(
                 _dispatch_strip(eng, m1, m2, i0, col_starts, ti, tj)
             )

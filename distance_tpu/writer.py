@@ -60,6 +60,11 @@ class TsvWriter:
             self._write(HEADER)
             self._wrote_header = True
 
+    def suppress_header(self) -> None:
+        """Skip the header line (non-zero shards of a multi-host run —
+        concatenation keeps the single header from shard 0)."""
+        self._wrote_header = True
+
     def rows(
         self,
         ids1: Sequence[str],
