@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Compute backend (engine extension; default auto)",
     )
     p.add_argument(
+        "--resume", action="store_true",
+        help=(
+            "Resume an interrupted run (engine extension): requires -o;"
+            " keeps a <output>.progress sidecar and continues from the"
+            " last completed strip, producing a byte-identical file"
+        ),
+    )
+    p.add_argument(
         "--shard", default=None, metavar="K/N",
         help=(
             "Multi-host sharding (engine extension): compute the K-th of"

@@ -66,6 +66,8 @@ class Setup:
     # balanced contiguous row-strip ranges; concatenating the N outputs
     # in k order reproduces the single-host file byte-for-byte.
     shard: Optional[Tuple[int, int]] = None
+    # Checkpoint/resume sidecar (see progress.py); None disables.
+    progress: Optional[object] = None
 
 
 def set_up(args) -> Setup:
@@ -115,7 +117,27 @@ def set_up(args) -> Setup:
             for aln in loaded:
                 aln.count_bases()
 
-    out = sys.stdout.buffer if args.output is None else open(args.output, "wb")
+    tracker = None
+    resume = bool(getattr(args, "resume", False))
+    if resume:
+        if args.output is None:
+            raise DistanceError("--resume requires -o/--output")
+        from distance_tpu.progress import ProgressTracker
+
+        tracker = ProgressTracker(args.output)
+        if tracker.load() and _os.path.exists(args.output):
+            out = open(args.output, "r+b")
+            out.truncate(tracker.byte_offset)
+            out.seek(tracker.byte_offset)
+        else:
+            tracker.units_done = 0
+            tracker.byte_offset = 0
+            out = open(args.output, "wb")
+    else:
+        out = (
+            sys.stdout.buffer if args.output is None
+            else open(args.output, "wb")
+        )
 
     if args.threads is None:
         import os
@@ -153,6 +175,7 @@ def set_up(args) -> Setup:
         backend=getattr(args, "backend", "auto") or "auto",
         consensus=cons,
         shard=shard,
+        progress=tracker,
     )
 
 
@@ -160,17 +183,51 @@ def run(setup: Setup) -> None:
     """Dispatch to the in-memory or streamed driver (lib.rs:490-498)."""
     if setup.shard is not None and setup.shard[0] != 0:
         setup.writer.suppress_header()
+    if setup.progress is not None:
+        cfg = {
+            "measure": setup.measure,
+            "tile_i": setup.tile_i,
+            "tile_j": setup.tile_j,
+            "shard": list(setup.shard) if setup.shard else None,
+            "mode": "stream" if setup.streamed is not None else "load",
+        }
+        mismatch = setup.progress.check_config(cfg)
+        if mismatch:
+            raise DistanceError(f"Cannot resume: {mismatch}")
+        if setup.progress.byte_offset > 0:
+            setup.writer.suppress_header()
     try:
         if setup.streamed is not None:
             _run_stream(setup)
         else:
             _run_load(setup)
         setup.writer.flush()
+        if setup.progress is not None:
+            setup.progress.clear()
     finally:
         try:
             setup.writer.flush()
         except Exception:
             pass
+
+
+def _resume_skip(setup: Setup) -> int:
+    """Number of already-completed emission units to skip."""
+    if setup.progress is None:
+        return 0
+    return setup.progress.units_done
+
+
+def _progress_mark(setup: Setup, units_done: int) -> None:
+    """Checkpoint after one emission unit: flush, record byte offset."""
+    if setup.progress is None:
+        return
+    setup.writer.flush()
+    try:
+        offset = setup.writer.tell()
+    except (OSError, AttributeError):
+        return
+    setup.progress.record(units_done, offset)
 
 
 # ---------------------------------------------------------------------------
@@ -635,16 +692,19 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         for i0 in strip_starts
     ]
     a, b = _split_strips(weights, setup.shard)
+    done = _resume_skip(setup)
 
     def strips():
-        for i0 in strip_starts[a:b]:
+        for ordinal, i0 in enumerate(strip_starts[a:b]):
+            if ordinal < done:
+                continue
             col_starts = list(range(i0, n, tj))
-            yield i0, col_starts, _AsyncFetch(
+            yield ordinal, i0, col_starts, _AsyncFetch(
                 _dispatch_strip(eng, mat, mat, i0, col_starts, ti, tj)
             )
 
     def emit(item):
-        i0, col_starts, handle = item
+        ordinal, i0, col_starts, handle = item
         si = min(ti, n - i0)
         strip = _fetch_strip(
             eng, handle, si, n - i0,
@@ -670,6 +730,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         pair_i = (local_rows + i0).astype(np.int64)
         _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
                     same_offset)
+        _progress_mark(setup, ordinal + 1)
 
     _pipeline_strips(strips(), emit)
 
@@ -713,11 +774,16 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
     a, b = _split_strips(weights, setup.shard)
     if a >= b:
         return
+    done = _resume_skip(setup)
     row_lo = strip_starts[a]
     row_hi = min(n, strip_starts[b - 1] + ti)
 
     for g0 in range(row_lo, row_hi, group_rows):
         g1 = min(g0 + group_rows, row_hi, n)
+        # resume: skip groups whose strips are all already emitted
+        last_ordinal = (g1 - 1 - row_lo) // ti
+        if last_ordinal < done:
+            continue
         dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti)
         span = n - g0
         bufs = np.zeros((len(plan.counters), g1 - g0, span), dtype=np.int32)
@@ -762,6 +828,9 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
         # Emit the group's rows in canonical order.
         for i0_loc in range(0, g1 - g0, ti):
             abs_i0 = g0 + i0_loc
+            ordinal = (abs_i0 - row_lo) // ti
+            if ordinal < done:
+                continue
             si = min(ti, g1 - g0 - i0_loc)
             local, cols = [], []
             for li in range(si):
@@ -780,6 +849,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             pair_i = (local_rows + g0).astype(np.int64)
             _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
                         same_offset)
+            _progress_mark(setup, ordinal + 1)
         dev_x = None
 
 
@@ -804,15 +874,18 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     strip_starts = list(range(0, n1, ti))
     weights = [min(ti, n1 - i0) * n2 for i0 in strip_starts]
     a, b = _split_strips(weights, setup.shard)
+    done = _resume_skip(setup)
 
     def strips():
-        for i0 in strip_starts[a:b]:
-            yield i0, _AsyncFetch(
+        for ordinal, i0 in enumerate(strip_starts[a:b]):
+            if ordinal < done:
+                continue
+            yield ordinal, i0, _AsyncFetch(
                 _dispatch_strip(eng, m1, m2, i0, col_starts, ti, tj)
             )
 
     def emit(item):
-        i0, handle = item
+        ordinal, i0, handle = item
         si = min(ti, n1 - i0)
         strip = _fetch_strip(
             eng, handle, si, n2,
@@ -829,6 +902,7 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
         pair_i = local_rows + i0
         _emit_pairs(setup, aln1, aln2, pair_i, col_idx, counters,
                     same_offset)
+        _progress_mark(setup, ordinal + 1)
 
     _pipeline_strips(strips(), emit)
 
@@ -852,9 +926,10 @@ def _run_stream(setup: Setup) -> None:
     plan = eng.plan
 
     pending: List[tuple] = []
+    done = _resume_skip(setup)
 
     def flush_one() -> None:
-        ids2, bcounts, handle, bn, redispatch = pending.pop(0)
+        ordinal, ids2, bcounts, handle, bn, redispatch = pending.pop(0)
         strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
         # Emission: for each streamed record (outer), all loaded (inner)
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
@@ -871,10 +946,15 @@ def _run_stream(setup: Setup) -> None:
             qc = tc = None
         values = finalize_block(setup.measure, counters, qc, tc)
         setup.writer.rows(aln.ids, ids2, row_idx, local_cols, values)
+        _progress_mark(setup, ordinal + 1)
 
     for batch in stream_fasta(
         setup.streamed, width, setup.measure, setup.consensus, dev_batch
     ):
+        if batch.idx < done:
+            # resume: batch already emitted (records were still parsed
+            # and validated, matching an uninterrupted run's checks)
+            continue
         bn = batch.matrix.shape[0]
         if backend == "numpy":
             m2 = _pad_to(batch.matrix, dev_batch, width)
@@ -900,8 +980,9 @@ def _run_stream(setup: Setup) -> None:
             )
 
         pending.append(
-            (batch.ids, batch.base_counts, _AsyncFetch(dispatch(), axis=1),
-             bn, lambda mode, m2=m2: dispatch(m2, mode))
+            (batch.idx, batch.ids, batch.base_counts,
+             _AsyncFetch(dispatch(), axis=1), bn,
+             lambda mode, m2=m2: dispatch(m2, mode))
         )
         # Keep at most 2 batches in flight (double buffering).
         while len(pending) > 2:

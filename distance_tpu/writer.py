@@ -86,6 +86,9 @@ class TsvWriter:
 
             os._exit(0)
 
+    def tell(self) -> int:
+        return self._out.tell()
+
     def close(self) -> None:
         self.flush()
         if self._out not in (getattr(sys.stdout, "buffer", None),):
