@@ -198,9 +198,11 @@ def run(setup: Setup) -> None:
             setup.writer.suppress_header()
     try:
         if setup.streamed is not None:
-            _run_stream(setup)
+            with phase_timer("stream-sweep"):
+                _run_stream(setup)
         else:
-            _run_load(setup)
+            with phase_timer("load-sweep"):
+                _run_load(setup)
         setup.writer.flush()
         if setup.progress is not None:
             setup.progress.clear()
@@ -209,6 +211,12 @@ def run(setup: Setup) -> None:
             setup.writer.flush()
         except Exception:
             pass
+        from distance_tpu.utils import timing
+
+        if timing.enabled():
+            for name, secs in sorted(timing.totals().items()):
+                print(f"[distance-tpu] total {name}: {secs:.3f} s",
+                      file=sys.stderr)
 
 
 def _resume_skip(setup: Setup) -> int:
@@ -370,7 +378,7 @@ class _BlockEngine:
             mesh = _device_mesh(self.tj)
             dev = jax.device_put(padded, NamedSharding(mesh, P(None, None)))
         else:
-            dev = jnp.asarray(padded)
+            dev = _chunked_h2d(padded)
         # Warm up the device->host path once: on some transports the very
         # first D2H in a process can stall for minutes; a tiny transfer
         # here absorbs that.
@@ -434,8 +442,10 @@ def _emit_pairs(
         tc = aln2.base_counts[pair_j]
     else:
         qc = tc = None
-    values = finalize_block(setup.measure, counters, qc, tc)
-    setup.writer.rows(aln1.ids, aln2.ids, pair_i, pair_j, values)
+    with phase_timer("finalize"):
+        values = finalize_block(setup.measure, counters, qc, tc)
+    with phase_timer("write"):
+        setup.writer.rows(aln1.ids, aln2.ids, pair_i, pair_j, values)
 
 
 # Prune when at least this fraction of columns is invariant.
@@ -498,9 +508,9 @@ def _pow2_at_least(n: int) -> int:
 import os as _os
 
 FETCH_CHUNK_BYTES = int(_os.environ.get("DISTANCE_TPU_FETCH_CHUNK", 4 << 20))
-FETCH_THREADS = int(_os.environ.get("DISTANCE_TPU_FETCH_THREADS", 6))
+FETCH_THREADS = int(_os.environ.get("DISTANCE_TPU_FETCH_THREADS", 8))
 # Strips dispatched ahead of the one currently being fetched/emitted.
-STRIP_LOOKAHEAD = int(_os.environ.get("DISTANCE_TPU_LOOKAHEAD", 3))
+STRIP_LOOKAHEAD = int(_os.environ.get("DISTANCE_TPU_LOOKAHEAD", 6))
 
 _fetch_pool = None
 
@@ -560,6 +570,29 @@ def _chunked_d2h(handle, axis: int) -> np.ndarray:
     if isinstance(handle, np.ndarray):
         return handle
     return _AsyncFetch(handle, axis).result()
+
+
+# Host->device uploads above this size go in chunks: some transports
+# stall on single large transfers.
+H2D_CHUNK_BYTES = int(_os.environ.get("DISTANCE_TPU_H2D_CHUNK", 32 << 20))
+
+
+def _chunked_h2d(arr: np.ndarray):
+    """Upload a host matrix to the default device in bounded chunks."""
+    import jax
+    import jax.numpy as jnp
+
+    if arr.nbytes <= H2D_CHUNK_BYTES:
+        return jnp.asarray(arr)
+    rows_per = max(1, H2D_CHUNK_BYTES // max(1, arr.shape[1] or 1))
+    parts = [
+        jax.device_put(arr[r0 : r0 + rows_per])
+        for r0 in range(0, arr.shape[0], rows_per)
+    ]
+    out = jnp.concatenate(parts, axis=0)
+    # Force materialization before the part buffers go out of scope.
+    out.block_until_ready()
+    return out
 
 
 def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
