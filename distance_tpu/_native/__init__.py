@@ -74,6 +74,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
     lib.dt_cpu_raw_pairs.argtypes = [p_u8, i64, i64, p_i32, p_i32, i64]
     lib.dt_cpu_raw_pairs.restype = i64
+    lib.dt_parse_fasta_fill.argtypes = [
+        p_u8, i64, i64, i64, p_u8,          # data, len, width, max_recs, enc
+        p_u8, ctypes.c_char_p, i64, p_i64,  # matrix, ids, ids_cap, id_offs
+        ctypes.c_char_p, i64, p_i64,        # descs, descs_cap, desc_offs
+        p_i64, p_i64, p_i64,                # n_out, err_a, err_b
+    ]
+    lib.dt_parse_fasta_fill.restype = ctypes.c_int
     return lib
 
 

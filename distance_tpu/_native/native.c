@@ -165,6 +165,126 @@ int64_t dt_format_rows_f64(const char *ids1, const int64_t *off1,
 }
 
 /* ------------------------------------------------------------------ */
+/* FASTA parse + encode                                                */
+/* ------------------------------------------------------------------ */
+
+/* Parse a whole FASTA buffer into a pre-allocated (n_records x width)
+ * Paradis-encoded matrix, with ids/descriptions copied into blobs.
+ *
+ * Line handling matches the Python parser: records start with '>' at a
+ * line start; id = first whitespace token, description = rest of the
+ * header; sequence lines are concatenated with leading/trailing
+ * blanks stripped.  Validation matches the reference: a byte that
+ * encodes to 0 is an invalid nucleotide (reported with record index and
+ * the byte), and a record whose length differs from `width` is ragged.
+ *
+ * Returns: 0 ok; 1 invalid nucleotide (err_a = record idx, err_b = byte);
+ * 2 ragged (err_a = record idx, err_b = seen width); 3 junk before first
+ * '>'; 4 capacity overflow (caller sized blobs wrong); 5 too many
+ * records.  Partial fills are valid up to the failing record.
+ */
+int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
+                        int64_t max_records, const uint8_t *enc_table,
+                        uint8_t *matrix, char *ids, int64_t ids_cap,
+                        int64_t *id_offs, char *descs, int64_t descs_cap,
+                        int64_t *desc_offs, int64_t *n_out, int64_t *err_a,
+                        int64_t *err_b) {
+    int64_t i = 0;
+    int64_t rec = -1;     /* current record index */
+    int64_t col = 0;      /* sites filled in current record */
+    int64_t id_w = 0, desc_w = 0;
+    id_offs[0] = 0;
+    desc_offs[0] = 0;
+
+    while (i < len) {
+        /* start of a line */
+        if (data[i] == '>') {
+            /* close previous record */
+            if (rec >= 0 && col != width) {
+                *n_out = rec;
+                *err_a = rec;
+                *err_b = col;
+                return 2;
+            }
+            rec++;
+            if (rec >= max_records) {
+                *n_out = rec;
+                return 5;
+            }
+            col = 0;
+            i++;
+            /* id token */
+            int64_t start = i;
+            while (i < len && data[i] != '\n' && data[i] != '\r' &&
+                   data[i] != ' ' && data[i] != '\t')
+                i++;
+            if (id_w + (i - start) > ids_cap) return 4;
+            memcpy(ids + id_w, data + start, i - start);
+            id_w += i - start;
+            id_offs[rec + 1] = id_w;
+            /* skip spaces, then description till EOL */
+            while (i < len && (data[i] == ' ' || data[i] == '\t')) i++;
+            start = i;
+            while (i < len && data[i] != '\n') i++;
+            int64_t dend = i;
+            while (dend > start &&
+                   (data[dend - 1] == '\r' || data[dend - 1] == ' ' ||
+                    data[dend - 1] == '\t'))
+                dend--;
+            if (desc_w + (dend - start) > descs_cap) return 4;
+            memcpy(descs + desc_w, data + start, dend - start);
+            desc_w += dend - start;
+            desc_offs[rec + 1] = desc_w;
+            if (i < len) i++; /* consume newline */
+        } else {
+            /* sequence (or blank/junk) line */
+            int64_t start = i;
+            while (i < len && data[i] != '\n') i++;
+            int64_t end = i;
+            if (i < len) i++; /* consume newline */
+            /* trim line edges */
+            while (start < end &&
+                   (data[start] == ' ' || data[start] == '\t')) start++;
+            while (end > start &&
+                   (data[end - 1] == '\r' || data[end - 1] == ' ' ||
+                    data[end - 1] == '\t'))
+                end--;
+            if (start == end) continue; /* blank */
+            if (rec < 0) {
+                *n_out = 0;
+                return 3;
+            }
+            uint8_t *row = matrix + rec * width;
+            for (int64_t p = start; p < end; p++) {
+                uint8_t code = enc_table[data[p]];
+                if (code == 0) {
+                    *n_out = rec + 1;
+                    *err_a = rec;
+                    *err_b = data[p];
+                    return 1;
+                }
+                if (col >= width) {
+                    /* longer than expected: keep counting so the ragged
+                     * error reports the record's full length, like the
+                     * Python path */
+                    col++;
+                    continue;
+                }
+                row[col++] = code;
+            }
+        }
+    }
+    if (rec >= 0 && col != width) {
+        *n_out = rec;
+        *err_a = rec;
+        *err_b = col;
+        return 2;
+    }
+    *n_out = rec + 1;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
 /* CPU reference byte loop (baseline proxy for benchmarking)           */
 /* ------------------------------------------------------------------ */
 

@@ -21,14 +21,12 @@ determinism oracle the reference enforces with its reorder buffer.
 from __future__ import annotations
 
 import functools
-import math
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import BinaryIO, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from distance_tpu import measures as measures_mod
 from distance_tpu.fastaio import (
     Alignment,
     DistanceError,
@@ -36,7 +34,7 @@ from distance_tpu.fastaio import (
     load_fastas,
     stream_fasta,
 )
-from distance_tpu.finalize import INT_MEASURES, finalize_block
+from distance_tpu.finalize import finalize_block
 from distance_tpu.ops.features import CounterPlan, features_device, get_plan
 from distance_tpu.utils.timing import phase_timer
 from distance_tpu.writer import TsvWriter

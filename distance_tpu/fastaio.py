@@ -11,8 +11,7 @@ Error messages reproduce the reference verbatim
 
 from __future__ import annotations
 
-import io
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import BinaryIO, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -156,17 +155,34 @@ class Alignment:
         return self.differences
 
 
+# Files above this size parse through the native C path when available.
+NATIVE_PARSE_MIN_BYTES = 1 << 20
+
+
 def load_fasta(handle: BinaryIO) -> Alignment:
     """Read a whole FASTA stream into an Alignment.
 
     Enforces equal widths within the file and rejects empty files
-    (/root/reference/src/fastaio.rs:174-200).
+    (/root/reference/src/fastaio.rs:174-200).  Large inputs go through
+    the native C parser+encoder (the reference's parse path is native
+    Rust); both paths produce identical Alignments and error messages.
     """
+    data = handle.read()
+    if len(data) >= NATIVE_PARSE_MIN_BYTES:
+        aln = _load_fasta_native(data)
+        if aln is not None:
+            return aln
+    return _load_fasta_python(data)
+
+
+def _load_fasta_python(data: bytes) -> Alignment:
+    import io as _io
+
     ids: List[str] = []
     descs: List[str] = []
     rows: List[np.ndarray] = []
     width: Optional[int] = None
-    for rid, desc, seq in parse_fasta(handle):
+    for rid, desc, seq in parse_fasta(_io.BytesIO(data)):
         codes = encode_seq(rid, seq)
         if width is None:
             width = codes.size
@@ -179,6 +195,102 @@ def load_fasta(handle: BinaryIO) -> Alignment:
         raise DistanceError(_err_empty_fasta())
     matrix = np.vstack(rows) if width else np.zeros((len(rows), 0), np.uint8)
     return Alignment(ids=ids, descriptions=descs, matrix=matrix)
+
+
+def _first_record_width(data: bytes) -> Optional[int]:
+    """Length of the first record's sequence (Python-trimmed semantics)."""
+    start = data.find(b">")
+    if start < 0:
+        return None
+    eol = data.find(b"\n", start)
+    if eol < 0:
+        return 0
+    nxt = data.find(b"\n>", eol)
+    block = data[eol + 1 : None if nxt < 0 else nxt + 1]
+    return sum(len(line.strip()) for line in block.split(b"\n"))
+
+
+def _load_fasta_native(data: bytes) -> Optional[Alignment]:
+    """C fast path; returns None if the native library is unavailable."""
+    from distance_tpu._native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    width = _first_record_width(data)
+    if width is None:
+        raise DistanceError(_err_empty_fasta())
+    arr = np.frombuffer(data, dtype=np.uint8)
+    # cheap upper bound on record count ('>' anywhere)
+    max_records = data.count(b">")
+    if max_records == 0:
+        # junk or whitespace only — let the Python path raise precisely
+        return _load_fasta_python(data)
+
+    matrix = np.zeros((max_records, width), dtype=np.uint8)
+    # header blobs are tiny relative to sequence data; if a pathological
+    # input overflows these, rc=4 falls back to the Python path
+    ids_cap = min(len(data), max(4096, max_records * 128))
+    ids_buf = ctypes.create_string_buffer(ids_cap)
+    descs_buf = ctypes.create_string_buffer(ids_cap)
+    id_offs = np.zeros(max_records + 1, dtype=np.int64)
+    desc_offs = np.zeros(max_records + 1, dtype=np.int64)
+    n_out = np.zeros(1, dtype=np.int64)
+    err_a = np.zeros(1, dtype=np.int64)
+    err_b = np.zeros(1, dtype=np.int64)
+
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.dt_parse_fasta_fill(
+        arr.ctypes.data_as(p_u8), len(data), width, max_records,
+        ENCODING.ctypes.data_as(p_u8),
+        matrix.ctypes.data_as(p_u8),
+        ids_buf, ids_cap, id_offs.ctypes.data_as(p_i64),
+        descs_buf, ids_cap, desc_offs.ctypes.data_as(p_i64),
+        n_out.ctypes.data_as(p_i64),
+        err_a.ctypes.data_as(p_i64), err_b.ctypes.data_as(p_i64),
+    )
+
+    def rec_id(k: int) -> str:
+        # note: .raw copies the whole buffer — take one bytes snapshot
+        blob = ctypes.string_at(ids_buf, int(id_offs[min(k + 1, max_records)]))
+        return blob[id_offs[k] : id_offs[k + 1]].decode(
+            "utf-8", errors="replace"
+        )
+
+    if rc == 1:
+        raise DistanceError(
+            _err_invalid_nuc(rec_id(int(err_a[0])), chr(int(err_b[0])))
+        )
+    if rc == 2:
+        raise DistanceError(
+            _err_different_lengths(int(err_b[0]), width)
+        )
+    if rc == 3:
+        raise DistanceError("Expected '>' at FASTA record start")
+    if rc != 0:
+        # capacity problems shouldn't happen (buffers sized from input);
+        # fall back rather than fail
+        return _load_fasta_python(data)
+
+    n = int(n_out[0])
+    if n == 0:
+        raise DistanceError(_err_empty_fasta())
+    id_blob = ctypes.string_at(ids_buf, int(id_offs[n]))
+    desc_blob = ctypes.string_at(descs_buf, int(desc_offs[n]))
+    ids = [
+        id_blob[id_offs[k] : id_offs[k + 1]].decode("utf-8", errors="replace")
+        for k in range(n)
+    ]
+    descs = [
+        desc_blob[desc_offs[k] : desc_offs[k + 1]].decode(
+            "utf-8", errors="replace"
+        )
+        for k in range(n)
+    ]
+    return Alignment(ids=ids, descriptions=descs, matrix=matrix[:n])
 
 
 def load_fastas(handles: Sequence[BinaryIO]) -> List[Alignment]:

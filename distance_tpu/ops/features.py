@@ -52,7 +52,7 @@ evaluations share one definition, so they agree by construction.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -17,12 +17,10 @@ bfloat16) and partial sums stay below 2^24.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from distance_tpu.ops.features import CounterPlan
 

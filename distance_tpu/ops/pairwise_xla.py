@@ -15,11 +15,9 @@ arithmetic with no width bound.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from distance_tpu.ops.features import CounterPlan, features_device, get_plan
 

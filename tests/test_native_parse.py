@@ -1,0 +1,86 @@
+"""Native C FASTA parser must match the Python parser exactly —
+alignments, ids, descriptions, and error messages."""
+
+import io
+
+import numpy as np
+import pytest
+
+import distance_tpu.fastaio as fio
+from distance_tpu._native import get_lib
+from distance_tpu.fastaio import DistanceError
+
+needs_native = pytest.mark.skipif(get_lib() is None, reason="no C toolchain")
+
+
+def both_paths(data: bytes):
+    py = fio._load_fasta_python(data)
+    nat = fio._load_fasta_native(data)
+    return py, nat
+
+
+def assert_equal_alignments(a, b):
+    assert a.ids == b.ids
+    assert a.descriptions == b.descriptions
+    assert np.array_equal(a.matrix, b.matrix)
+
+
+@needs_native
+@pytest.mark.parametrize("data", [
+    b">a\nACGT\n>b\nTTTT\n",
+    b">a desc here\nACGT\n>b  two  words\nacgt\n",
+    b">a\nAC\nGT\n>b\nACGT\n",                       # multi-line
+    b">a\r\nACGT\r\n>b\r\nNRYK\r\n",                 # CRLF
+    b">a\n ACGT \n>b\nACGT\n",                       # edge blanks
+    b">lone\nACGTRMWSKYVHDBN-?\n",                   # all codes
+    b">a\nACGT",                                      # no trailing newline
+    b">a\n\nAC\n\nGT\n>b\nACGT\n\n",                 # blank lines
+])
+def test_paths_agree(data):
+    py, nat = both_paths(data)
+    assert_equal_alignments(py, nat)
+
+
+@needs_native
+def test_large_random_agrees(rng):
+    from tests.conftest import make_fasta, random_seqs
+
+    data = make_fasta(random_seqs(rng, 200, 311, amb_frac=0.3))
+    py, nat = both_paths(data)
+    assert_equal_alignments(py, nat)
+
+
+@needs_native
+@pytest.mark.parametrize("data,msg", [
+    (b">a\nACGZ\n", "Invalid nucleotide character in record 'a': 'Z'"),
+    (b">a\nACGT\n>b\nACG\n",
+     "Different length sequences in alignment(s): 3 vs 4"),
+    (b">a\nACGT\n>b\nACGTA\n",
+     "Different length sequences in alignment(s): 5 vs 4"),
+])
+def test_error_messages_agree(data, msg):
+    with pytest.raises(DistanceError) as e1:
+        fio._load_fasta_python(data)
+    with pytest.raises(DistanceError) as e2:
+        fio._load_fasta_native(data)
+    assert str(e1.value) == msg
+    assert str(e2.value) == msg
+
+
+@needs_native
+def test_native_used_for_large_files(monkeypatch, rng):
+    from tests.conftest import make_fasta, random_seqs
+
+    monkeypatch.setattr(fio, "NATIVE_PARSE_MIN_BYTES", 10)
+    called = {}
+    orig = fio._load_fasta_native
+
+    def spy(data):
+        called["yes"] = True
+        return orig(data)
+
+    monkeypatch.setattr(fio, "_load_fasta_native", spy)
+    data = make_fasta(random_seqs(rng, 5, 50))
+    aln = fio.load_fasta(io.BytesIO(data))
+    assert called.get("yes")
+    assert aln.n == 5
