@@ -91,6 +91,14 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
     dev = eng.prepare(mat, max(ti, tj))
     plan = eng.plan
 
+    base_counts = None
+    if measure == "tn93":
+        from distance_tpu.encoding import A, C, G, T
+
+        base_counts = np.stack(
+            [(mat == v).sum(axis=1) for v in (A, T, G, C)], axis=1
+        ).astype(np.int64)
+
     from distance_tpu.engine import (
         _AsyncFetch,
         _dispatch_strip,
@@ -132,7 +140,13 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
             name: strip[k, local_rows, col_idx - i0]
             for k, name in enumerate(plan.counters)
         }
-        finalize_block(measure, counters)
+        if base_counts is not None:
+            finalize_block(
+                measure, counters,
+                base_counts[local_rows + i0], base_counts[col_idx],
+            )
+        else:
+            finalize_block(measure, counters)
         total_pairs += local_rows.shape[0]
 
     t0 = time.perf_counter()
