@@ -138,11 +138,12 @@ def set_up(args) -> Setup:
         )
 
     if args.threads is None:
-        import os
-
-        n_threads = os.cpu_count() or 1
+        n_threads = _os.cpu_count() or 1
     else:
         n_threads = max(1, args.threads)
+        # the reference's -t sizes its worker pool; here host-side
+        # parallelism is the transfer/finalize pool
+        configure_fetch_pool(n_threads)
 
     shard = None
     shard_arg = getattr(args, "shard", None)
@@ -513,13 +514,22 @@ STRIP_LOOKAHEAD = int(_os.environ.get("DISTANCE_TPU_LOOKAHEAD", 6))
 _fetch_pool = None
 
 
-def _get_fetch_pool():
+def _get_fetch_pool(n_threads: Optional[int] = None):
+    """Transfer thread pool.  Sized by the first caller: the CLI's -t
+    maps here (the reference's worker-thread knob; compute parallelism
+    itself belongs to the device)."""
     global _fetch_pool
     if _fetch_pool is None:
         from concurrent.futures import ThreadPoolExecutor
 
-        _fetch_pool = ThreadPoolExecutor(FETCH_THREADS)
+        _fetch_pool = ThreadPoolExecutor(n_threads or FETCH_THREADS)
     return _fetch_pool
+
+
+def configure_fetch_pool(n_threads: int) -> None:
+    """Set the transfer pool size before first use (idempotent after)."""
+    if n_threads and n_threads > 0:
+        _get_fetch_pool(min(n_threads, 32))
 
 
 def _chunk_slices(handle, axis: int):
