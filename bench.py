@@ -219,8 +219,12 @@ def main():
     pairs_per_s, dt, total_pairs = device_sweep_pairs_per_s(
         mat, measure, backend, ti, tj
     )
+    # Device-only sweeps favor the largest square blocks (features are
+    # materialized once per block): ~2x the strip-shaped tiles.
+    dev_tile = int(os.environ.get("BENCH_DEV_TILE", "8192"))
+    dev_tile = min(dev_tile, n)
     dev_pairs_per_s, dev_dt = device_only_pairs_per_s(
-        mat, measure, backend, ti, tj
+        mat, measure, backend, dev_tile, dev_tile
     )
 
     result = {
