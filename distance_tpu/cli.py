@@ -75,15 +75,22 @@ def build_parser() -> argparse.ArgumentParser:
             " print to stdout"
         ),
     )
+    def usize(s: str) -> int:
+        # clap's value_parser!(usize) rejects negatives at parse time
+        v = int(s)
+        if v < 0:
+            raise argparse.ArgumentTypeError(f"invalid value '{s}'")
+        return v
+
     p.add_argument(
-        "-t", "--threads", type=int, default=None,
+        "-t", "--threads", type=usize, default=None,
         help=(
             "How many threads to spin up for pairwise comparisons. Omitting"
             " this option spins up the number of available CPUs"
         ),
     )
     p.add_argument(
-        "-b", "--batchsize", type=int, default=1,
+        "-b", "--batchsize", type=usize, default=1,
         help="Try setting this >(>) 1 to tune the workload per thread",
     )
     p.add_argument(

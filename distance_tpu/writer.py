@@ -102,6 +102,11 @@ def _id_blob(ids: Sequence[str]):
     return b"".join(enc), offs
 
 
+# Rows formatted per native call — bounds the worst-case scratch buffer
+# (~360 B/row for extreme f64 values) to a few hundred MB.
+_FORMAT_CHUNK_ROWS = 1 << 20
+
+
 def _format_rows(
     ids1: Sequence[str],
     ids2: Sequence[str],
@@ -119,28 +124,51 @@ def _format_rows(
         max_id = int((off1[1:] - off1[:-1]).max(initial=0)) + int(
             (off2[1:] - off2[:-1]).max(initial=0)
         )
-        cap = n * (max_id + 360 + 3) + 16
-        buf = ctypes.create_string_buffer(cap)
         p_i64 = ctypes.POINTER(ctypes.c_int64)
         p_i32 = ctypes.POINTER(ctypes.c_int32)
-        args = [
+        id_args = [
             blob1, off1.ctypes.data_as(p_i64),
             blob2, off2.ctypes.data_as(p_i64),
-            pair_i.ctypes.data_as(p_i32), pair_j.ctypes.data_as(p_i32),
         ]
-        if values.dtype == np.float64:
-            vals = np.ascontiguousarray(values)
-            w = lib.dt_format_rows_f64(
-                *args, vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                n, buf, cap,
-            )
-        else:
-            vals = np.ascontiguousarray(values, dtype=np.int64)
-            w = lib.dt_format_rows_i64(
-                *args, vals.ctypes.data_as(p_i64), n, buf, cap,
-            )
-        if w >= 0:
-            return buf.raw[:w]
+        out = []
+        ok = True
+        for c0 in range(0, n, _FORMAT_CHUNK_ROWS):
+            c1 = min(c0 + _FORMAT_CHUNK_ROWS, n)
+            cn = c1 - c0
+            pi = pair_i[c0:c1]
+            pj = pair_j[c0:c1]
+            if not pi.flags.c_contiguous:
+                pi = np.ascontiguousarray(pi)
+                pj = np.ascontiguousarray(pj)
+            args = id_args + [
+                pi.ctypes.data_as(p_i32), pj.ctypes.data_as(p_i32),
+            ]
+            # typical rows are short; retry with the f64 worst case (~360
+            # chars) only if the tight buffer overflows
+            w = -1
+            for per_row in (64, 384):
+                cap = cn * (max_id + per_row + 3) + 16
+                buf = ctypes.create_string_buffer(cap)
+                if values.dtype == np.float64:
+                    vals = np.ascontiguousarray(values[c0:c1])
+                    w = lib.dt_format_rows_f64(
+                        *args,
+                        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                        cn, buf, cap,
+                    )
+                else:
+                    vals = np.ascontiguousarray(values[c0:c1], dtype=np.int64)
+                    w = lib.dt_format_rows_i64(
+                        *args, vals.ctypes.data_as(p_i64), cn, buf, cap,
+                    )
+                if w >= 0:
+                    break
+            if w < 0:
+                ok = False
+                break
+            out.append(ctypes.string_at(buf, w))
+        if ok:
+            return b"".join(out)
     # Python fallback
     parts: List[str] = []
     if values.dtype == np.float64:

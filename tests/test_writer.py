@@ -1,0 +1,88 @@
+"""Writer formatting: Rust parity, chunked native path, reorder buffer."""
+
+import io
+
+import numpy as np
+import pytest
+
+import distance_tpu.writer as writer_mod
+from distance_tpu.writer import ReorderBuffer, TsvWriter, format_float
+
+
+def test_format_float_specials():
+    assert format_float(float("nan")) == "NaN"
+    assert format_float(float("inf")) == "inf"
+    assert format_float(float("-inf")) == "-inf"
+    assert format_float(-0.0) == "-0.000000000000"
+    assert format_float(0.0) == "0.000000000000"
+    assert format_float(2.0 / 15.0) == "0.133333333333"
+
+
+def rows_bytes(ids1, ids2, pi, pj, vals):
+    out = io.BytesIO()
+    w = TsvWriter(out)
+    w.rows(ids1, ids2, np.asarray(pi), np.asarray(pj), np.asarray(vals))
+    return out.getvalue()
+
+
+def expected(ids1, ids2, pi, pj, vals):
+    lines = ["sequence1\tsequence2\tdistance"]
+    for i, j, v in zip(pi, pj, vals):
+        s = format_float(v) if isinstance(v, float) else str(v)
+        lines.append(f"{ids1[i]}\t{ids2[j]}\t{s}")
+    return ("\n".join(lines) + "\n").encode()
+
+
+def test_rows_float_and_int():
+    ids = ["alpha", "b", "charlie_9"]
+    pi, pj = [0, 1, 2], [2, 0, 1]
+    fvals = [0.5, float("nan"), -0.0]
+    assert rows_bytes(ids, ids, pi, pj, np.array(fvals)) == expected(
+        ids, ids, pi, pj, fvals
+    )
+    ivals = [0, 123456789, 7]
+    got = rows_bytes(ids, ids, pi, pj, np.array(ivals, dtype=np.int64))
+    assert got == expected(ids, ids, pi, pj, ivals)
+
+
+def test_rows_huge_values_trigger_retry():
+    # 1e308 formats to ~321 chars — exceeds the tight per-row budget and
+    # must retry with the worst-case buffer, not corrupt output
+    ids = ["x", "y"]
+    vals = np.array([1e308, -1e308])
+    got = rows_bytes(ids, ids, [0, 1], [1, 0], vals)
+    want = expected(ids, ids, [0, 1], [1, 0], list(vals))
+    assert got == want
+
+
+def test_rows_chunked(monkeypatch, rng):
+    monkeypatch.setattr(writer_mod, "_FORMAT_CHUNK_ROWS", 7)
+    ids = [f"s{i}" for i in range(30)]
+    pi = rng.integers(0, 30, size=100)
+    pj = rng.integers(0, 30, size=100)
+    vals = rng.random(100)
+    got = rows_bytes(ids, ids, pi, pj, vals)
+    want = expected(ids, ids, list(pi), list(pj), list(vals))
+    assert got == want
+
+
+def test_python_fallback_matches_native(monkeypatch, rng):
+    ids = [f"id{i}" for i in range(10)]
+    pi = rng.integers(0, 10, size=40)
+    pj = rng.integers(0, 10, size=40)
+    vals = rng.random(40)
+    native = rows_bytes(ids, ids, pi, pj, vals)
+    monkeypatch.setattr(writer_mod, "get_lib", lambda: None)
+    python = rows_bytes(ids, ids, pi, pj, vals)
+    assert native == python
+
+
+def test_reorder_buffer():
+    seen = []
+    rb = ReorderBuffer(seen.append)
+    rb.add(2, "c")
+    rb.add(0, "a")
+    assert seen == ["a"]
+    rb.add(1, "b")
+    assert seen == ["a", "b", "c"]
+    assert rb.outstanding == 0
