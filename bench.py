@@ -211,7 +211,11 @@ def main():
     ti = int(os.environ.get("BENCH_TILE_I", "1024" if on_tpu else "256"))
     tj = int(os.environ.get("BENCH_TILE_J", "4096" if on_tpu else "512"))
     if not on_tpu:
-        n = min(n, int(os.environ.get("BENCH_N", "2048")))
+        # CPU fallback: keep the run to seconds, not hours
+        n = min(n, int(os.environ.get("BENCH_N", "512")))
+        width = min(width, int(os.environ.get("BENCH_L", "2048")))
+        ti = min(ti, 256)
+        tj = min(tj, 512)
 
     mat = make_alignment(n, width)
     baseline = cpu_baseline_pairs_per_s(mat, width)

@@ -989,6 +989,22 @@ def _run_stream(setup: Setup) -> None:
         setup.writer.rows(aln.ids, ids2, row_idx, local_cols, values)
         _progress_mark(setup, ordinal + 1)
 
+    try:
+        _stream_batches(setup, eng, m1, backend, width, dev_batch, ti, n1,
+                        done, pending, flush_one)
+    except DistanceError:
+        # a bad streamed record surfaces after earlier batches were
+        # dispatched — emit what completed (the reference's writer
+        # thread has likewise consumed earlier results by this point)
+        while pending:
+            flush_one()
+        raise
+    while pending:
+        flush_one()
+
+
+def _stream_batches(setup, eng, m1, backend, width, dev_batch, ti, n1,
+                    done, pending, flush_one):
     for batch in stream_fasta(
         setup.streamed, width, setup.measure, setup.consensus, dev_batch
     ):
