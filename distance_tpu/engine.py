@@ -42,6 +42,8 @@ from distance_tpu.writer import TsvWriter
 # Pair-tile sizes: strips of TILE_I rows against blocks of TILE_J columns.
 TILE_I = 256
 TILE_J = 2048
+# Streamed records grouped into device dispatches of about this many rows.
+DEV_BATCH_ROWS = 512
 # Below this many pair-sites the NumPy path beats device dispatch+compile.
 SMALL_PROBLEM_PAIRSITES = 5e7
 
@@ -189,6 +191,8 @@ def run(setup: Setup) -> None:
             "tile_j": setup.tile_j,
             "shard": list(setup.shard) if setup.shard else None,
             "mode": "stream" if setup.streamed is not None else "load",
+            # stream-mode emission groups depend on the batch size
+            "batchsize": setup.batchsize,
         }
         mismatch = setup.progress.check_config(cfg)
         if mismatch:
@@ -956,13 +960,18 @@ def _run_stream(setup: Setup) -> None:
     aln = setup.loaded[0]
     n1, width = aln.n, aln.width
     setup.writer.header()
-    # Internal device batch: output order is independent of the user's
-    # -b (it only sized the reference's channel messages), so batches are
-    # sized for the device while preserving record order.
-    dev_batch = max(setup.batchsize, 512)
-    backend = _resolve_backend(setup.backend, float(n1) * dev_batch * max(width, 1))
+    # Records stream at the user's -b granularity (reference semantics,
+    # fastaio.rs:256-277); the engine groups consecutive user batches
+    # into ~DEV_BATCH_ROWS device dispatches.  Success output is
+    # independent of -b; on a mid-stream error, every fully-read user
+    # batch is emitted — matching the reference's pipeline, where the
+    # writer has consumed all batches sent before the reader failed.
+    user_b = max(1, setup.batchsize)
+    backend = _resolve_backend(
+        setup.backend, float(n1) * DEV_BATCH_ROWS * max(width, 1)
+    )
     ti = min(setup.tile_i, _pow2_at_least(n1))
-    eng = _BlockEngine(setup.measure, backend, ti, dev_batch, width)
+    eng = _BlockEngine(setup.measure, backend, ti, DEV_BATCH_ROWS, width)
     m1 = eng.prepare(aln.matrix, ti)
     plan = eng.plan
 
@@ -989,41 +998,39 @@ def _run_stream(setup: Setup) -> None:
         setup.writer.rows(aln.ids, ids2, row_idx, local_cols, values)
         _progress_mark(setup, ordinal + 1)
 
-    try:
-        _stream_batches(setup, eng, m1, backend, width, dev_batch, ti, n1,
-                        done, pending, flush_one)
-    except DistanceError:
-        # a bad streamed record surfaces after earlier batches were
-        # dispatched — emit what completed (the reference's writer
-        # thread has likewise consumed earlier results by this point)
-        while pending:
-            flush_one()
-        raise
-    while pending:
-        flush_one()
+    group: List[object] = []
+    group_rows = 0
+    ordinal = 0
 
-
-def _stream_batches(setup, eng, m1, backend, width, dev_batch, ti, n1,
-                    done, pending, flush_one):
-    for batch in stream_fasta(
-        setup.streamed, width, setup.measure, setup.consensus, dev_batch
-    ):
-        if batch.idx < done:
-            # resume: batch already emitted (records were still parsed
-            # and validated, matching an uninterrupted run's checks)
-            continue
-        bn = batch.matrix.shape[0]
+    def dispatch_group() -> None:
+        nonlocal group, group_rows, ordinal
+        if not group:
+            return
+        this_ordinal = ordinal
+        ordinal += 1
+        if this_ordinal < done:
+            group, group_rows = [], 0
+            return
+        ids2 = [i for b in group for i in b.ids]
+        mat = np.concatenate([b.matrix for b in group], axis=0)
+        bcounts = (
+            np.concatenate([b.base_counts for b in group], axis=0)
+            if group[0].base_counts is not None
+            else None
+        )
+        group, group_rows = [], 0
+        bn = mat.shape[0]
+        rows_pad = -(-bn // DEV_BATCH_ROWS) * DEV_BATCH_ROWS
         if backend == "numpy":
-            m2 = _pad_to(batch.matrix, dev_batch, width)
+            m2 = _pad_to(mat, rows_pad, width)
         else:
             import jax.numpy as jnp
 
-            m2 = jnp.asarray(
-                _pad_to(batch.matrix, dev_batch, m1.shape[1])
-            )
-        def dispatch(m2=m2, mode=None):
+            m2 = jnp.asarray(_pad_to(mat, rows_pad, m1.shape[1]))
+
+        def dispatch(m2=m2, rows_pad=rows_pad, mode=None):
             handles = [
-                eng.block(m1, m2, i0, 0, ti, dev_batch, mode)
+                eng.block(m1, m2, i0, 0, ti, rows_pad, mode)
                 for i0 in range(0, n1, ti)
             ]
             if backend == "numpy":
@@ -1037,13 +1044,28 @@ def _stream_batches(setup, eng, m1, backend, width, dev_batch, ti, n1,
             )
 
         pending.append(
-            (batch.idx, batch.ids, batch.base_counts,
-             _AsyncFetch(dispatch(), axis=1), bn,
-             lambda mode, m2=m2: dispatch(m2, mode))
+            (this_ordinal, ids2, bcounts, _AsyncFetch(dispatch(), axis=1),
+             bn, lambda mode, m2=m2, rp=rows_pad: dispatch(m2, rp, mode))
         )
-        # Keep at most 2 batches in flight (double buffering).
+        # Keep at most 2 groups in flight (double buffering).
         while len(pending) > 2:
             flush_one()
+
+    try:
+        for batch in stream_fasta(
+            setup.streamed, width, setup.measure, setup.consensus, user_b
+        ):
+            group.append(batch)
+            group_rows += batch.matrix.shape[0]
+            if group_rows >= DEV_BATCH_ROWS:
+                dispatch_group()
+    except DistanceError:
+        # a bad streamed record: emit every fully-read user batch first
+        dispatch_group()
+        while pending:
+            flush_one()
+        raise
+    dispatch_group()
     while pending:
         flush_one()
 
