@@ -417,10 +417,6 @@ class _BlockEngine:
 # In-memory sweeps
 # ---------------------------------------------------------------------------
 
-def _counters_to_dict(plan: CounterPlan, stacked: np.ndarray) -> Dict[str, np.ndarray]:
-    return {name: stacked[k] for k, name in enumerate(plan.counters)}
-
-
 def _emit_pairs(
     setup: Setup,
     aln1: Alignment,

@@ -4,14 +4,26 @@ One kernel computes all counter groups for a (TILE_I x TILE_J) block of
 sequence pairs: the uint8 code tiles are read from HBM once, the feature
 channels are built in-register with VPU bit ops (no gathers, no
 materialized (R x L) feature tensors in HBM — the XLA path's main memory
-overhead), and each counter group is contracted on the MXU with f32
+overhead), and each counter group is contracted on the MXU with int32
 accumulation across site tiles.
 
 Grid: (i_tiles, j_tiles, site_tiles) with the site dimension innermost so
 each output block accumulates in VMEM across the site sweep.
 
-Exactness matches the XLA path: features are in {-1, 0, 1} (exact in
-bfloat16) and partial sums stay below 2^24.
+Why this is NOT the default backend (measured on v5e): with the site
+dimension innermost, both sides' feature channels are rebuilt on the VPU
+at every grid step — ~3*R ops per input byte against R*TILE MACs on the
+MXU, which leaves the kernel VPU-bound at VMEM-sized tiles (181 vs the
+XLA path's 290 TOPS-equivalent).  Reusing features across the j axis
+in-kernel would need j-innermost iteration with non-consecutive output
+revisits, which Mosaic handles poorly; materializing features once per
+large block in HBM — exactly what the XLA path does — is the better
+trade on this hardware (74% of int8 peak at 8192^2 blocks).  The kernel
+stays as a selectable backend (`--backend pallas`) and is kept exact and
+tested.
+
+Exactness matches the XLA path: features are in {-1, 0, 1} int8 with
+int32 accumulation.
 """
 
 from __future__ import annotations

@@ -14,8 +14,6 @@ arithmetic with no width bound.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -56,23 +54,6 @@ def counters_xla(
         )
         outs.append(c)
     return jnp.stack(outs).astype(jnp.int32)
-
-
-@functools.lru_cache(maxsize=None)
-def make_block_fn(measure: str, backend: str = "xla"):
-    """Jitted (x_block, y_block) -> (n_counters, m, n) int32 for a measure.
-
-    ``backend`` selects "xla" (this module) or "pallas"
-    (ops.pairwise_pallas); both produce identical integers.
-    """
-    plan = get_plan(measure)
-    if backend == "pallas":
-        from distance_tpu.ops.pairwise_pallas import counters_pallas
-
-        fn = functools.partial(counters_pallas, plan=plan)
-    else:
-        fn = functools.partial(counters_xla, plan=plan)
-    return jax.jit(fn)
 
 
 def base_counts_device(codes: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,48 @@
+"""CLI smoke tests: version, licences, usage errors."""
+
+import subprocess
+import sys
+
+
+def run_cli(args, input_data=b""):
+    return subprocess.run(
+        [sys.executable, "-m", "distance_tpu.cli"] + args,
+        input=input_data, capture_output=True,
+    )
+
+
+def test_version():
+    r = run_cli(["-V"])
+    assert r.returncode == 0
+    assert b"distance" in r.stdout
+
+
+def test_licenses():
+    r = run_cli(["-l"])
+    assert r.returncode == 0
+    assert b"Paradis" in r.stdout
+
+
+def test_help_lists_flags():
+    r = run_cli(["-h"])
+    assert r.returncode == 0
+    for flag in (b"--input", b"--stream", b"--measure", b"--output",
+                 b"--threads", b"--batchsize", b"--licenses"):
+        assert flag in r.stdout, flag
+
+
+def test_negative_batchsize_rejected():
+    r = run_cli(["-b", "-3"], input_data=b">a\nACGT\n")
+    assert r.returncode == 2
+
+
+def test_negative_threads_rejected():
+    r = run_cli(["-t", "-1"], input_data=b">a\nACGT\n")
+    assert r.returncode == 2
+
+
+def test_threads_zero_clamps():
+    r = run_cli(["-t", "0", "-m", "n", "--backend", "numpy"],
+                input_data=b">a\nACGT\n>b\nACGA\n")
+    assert r.returncode == 0
+    assert b"a\tb\t1" in r.stdout
