@@ -757,8 +757,8 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         local, cols = [], []
         for li in range(si):
             i = i0 + li
-            js = np.arange(i + 1, n, dtype=np.int64)
-            local.append(np.full(js.shape, li, dtype=np.int64))
+            js = np.arange(i + 1, n, dtype=np.int32)
+            local.append(np.full(js.shape, li, dtype=np.int32))
             cols.append(js)
         if not cols:
             return
@@ -768,7 +768,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
             name: strip[k, local_rows, col_idx - i0]
             for k, name in enumerate(plan.counters)
         }
-        pair_i = (local_rows + i0).astype(np.int64)
+        pair_i = local_rows.astype(np.int64) + i0
         _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
                     same_offset)
         _progress_mark(setup, ordinal + 1)
@@ -876,8 +876,8 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             local, cols = [], []
             for li in range(si):
                 i = abs_i0 + li
-                js = np.arange(i + 1, n, dtype=np.int64)
-                local.append(np.full(js.shape, li + i0_loc, dtype=np.int64))
+                js = np.arange(i + 1, n, dtype=np.int32)
+                local.append(np.full(js.shape, li + i0_loc, dtype=np.int32))
                 cols.append(js)
             if not cols:
                 continue
@@ -887,7 +887,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                 name: bufs[k, local_rows, col_idx - g0]
                 for k, name in enumerate(plan.counters)
             }
-            pair_i = (local_rows + g0).astype(np.int64)
+            pair_i = local_rows.astype(np.int64) + g0
             _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
                         same_offset)
             _progress_mark(setup, ordinal + 1)
@@ -934,8 +934,8 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
                 eng, m1, m2, i0, col_starts, ti, tj, mode
             ),
         )
-        local_rows = np.repeat(np.arange(si, dtype=np.int64), n2)
-        col_idx = np.tile(np.arange(n2, dtype=np.int64), si)
+        local_rows = np.repeat(np.arange(si, dtype=np.int32), n2)
+        col_idx = np.tile(np.arange(n2, dtype=np.int32), si)
         counters = {
             name: strip[k, local_rows, col_idx]
             for k, name in enumerate(plan.counters)
@@ -979,8 +979,8 @@ def _run_stream(setup: Setup) -> None:
         strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
         # Emission: for each streamed record (outer), all loaded (inner)
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
-        local_cols = np.repeat(np.arange(bn, dtype=np.int64), n1)
-        row_idx = np.tile(np.arange(n1, dtype=np.int64), bn)
+        local_cols = np.repeat(np.arange(bn, dtype=np.int32), n1)
+        row_idx = np.tile(np.arange(n1, dtype=np.int32), bn)
         counters = {
             name: strip[k, row_idx, local_cols]
             for k, name in enumerate(plan.counters)

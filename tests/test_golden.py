@@ -164,3 +164,32 @@ def test_float_formatting_specials():
     fasta2 = b">a\nNNNN\n>b\nNNNN\n"
     got2, _ = run_engine("raw", fasta2, backend="numpy")
     assert got2.decode().strip().split("\n")[1] == "a\tb\tNaN"
+
+
+@pytest.mark.parametrize("backend", ["xla"])
+def test_float_specials_through_device_path(backend):
+    """NaN (all-ambiguous, narrow saturation -> wide refetch) and inf
+    (jc69 saturation) must survive the packed device pipeline."""
+    fasta = (
+        b">n1\n" + b"N" * 16 + b"\n"
+        b">n2\n" + b"N" * 16 + b"\n"
+        b">s1\n" + b"AAAG" * 4 + b"\n"
+        b">s2\n" + b"CCCG" * 4 + b"\n"
+    )
+    got, _ = run_engine("raw", fasta, backend=backend, tile_i=8, tile_j=8)
+    assert got == expected_square("raw", fasta)
+    assert b"NaN" in got
+    got2, _ = run_engine("jc69", fasta, backend=backend, tile_i=8, tile_j=8)
+    assert got2 == expected_square("jc69", fasta)
+
+
+def test_combined_mesh_outofcore_shard(monkeypatch, rng):
+    """8-device mesh + out-of-core budgets + sharding, all at once."""
+    import distance_tpu.engine as engine
+    from tests.test_sharding import run_shard
+
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", 2500)
+    monkeypatch.setattr(engine, "HOST_BUF_BUDGET", 60000)
+    fasta = make_fasta(random_seqs(rng, 45, 100, amb_frac=0.25))
+    parts = [run_shard("tn93", fasta, None, (k, 3), tile=8) for k in range(3)]
+    assert b"".join(parts) == expected_square("tn93", fasta)
