@@ -737,6 +737,9 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     ]
     a, b = _split_strips(weights, setup.shard)
     done = _resume_skip(setup)
+    from distance_tpu.utils.timing import ProgressMeter
+
+    meter = ProgressMeter("sweep", weights[a + done : b])
 
     def strips():
         for ordinal, i0 in enumerate(strip_starts[a:b]):
@@ -775,6 +778,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
                     same_offset)
         _progress_mark(setup, ordinal + 1)
+        meter.tick()
 
     _pipeline_strips(strips(), emit)
 

@@ -43,3 +43,49 @@ def totals() -> Dict[str, float]:
 def reset() -> None:
     _TOTALS.clear()
     _COUNTS.clear()
+
+
+class ProgressMeter:
+    """Stderr progress line for long sweeps.
+
+    Active when DISTANCE_TPU_PROGRESS=1 or stderr is a terminal; prints
+    at most once per second.  Weights let strips of different pair
+    counts advance the bar proportionally.
+    """
+
+    def __init__(self, label: str, weights) -> None:
+        self._weights = list(weights)
+        self._total = sum(self._weights) or 1
+        self._done = 0.0
+        self._count = 0
+        self._label = label
+        self._t0 = time.perf_counter()
+        self._last_print = 0.0
+        env = os.environ.get("DISTANCE_TPU_PROGRESS", "")
+        if env not in ("", "0"):
+            self._on = env != "0" and env != ""
+        else:
+            self._on = bool(getattr(sys.stderr, "isatty", lambda: False)())
+
+    def tick(self) -> None:
+        if self._count < len(self._weights):
+            self._done += self._weights[self._count]
+        self._count += 1
+        if not self._on:
+            return
+        now = time.perf_counter()
+        if now - self._last_print < 1.0 and self._count < len(self._weights):
+            return
+        self._last_print = now
+        frac = self._done / self._total
+        elapsed = now - self._t0
+        eta = elapsed / frac - elapsed if frac > 0 else 0.0
+        print(
+            f"\r[distance-tpu] {self._label} {frac * 100:5.1f}%"
+            f" ({self._count}/{len(self._weights)})"
+            f" elapsed {elapsed:.0f}s eta {eta:.0f}s",
+            end="",
+            file=sys.stderr,
+        )
+        if self._count >= len(self._weights):
+            print(file=sys.stderr)
