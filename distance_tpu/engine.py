@@ -867,9 +867,17 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                     ),
                 )
                 c0_abs = q0 + col_starts[0]
+                # the first tj-aligned block can begin before the
+                # group's column origin g0 (when ti is not a multiple of
+                # tj); clip those columns instead of letting a negative
+                # offset wrap the buffer
+                dst0 = c0_abs - g0
+                if dst0 < 0:
+                    strip = strip[:, :, -dst0:]
+                    dst0 = 0
                 bufs[
                     :, i0_loc : i0_loc + si,
-                    c0_abs - g0 : c0_abs - g0 + strip.shape[2],
+                    dst0 : dst0 + strip.shape[2],
                 ] = strip
             dev_y = None
 

@@ -56,3 +56,17 @@ def test_blocked_with_diverse_data_refetch(tiny_budgets):
     fasta = ("".join(f">{r}\n{s}\n" for r, s in recs)).encode()
     got, _ = run_engine("k80", fasta, backend="xla", tile_i=8, tile_j=8)
     assert got == expected_square("k80", fasta)
+
+
+@pytest.mark.parametrize("tile", [(8, 16), (8, 32), (16, 32)])
+def test_blocked_unaligned_tiles(tile, monkeypatch, rng):
+    """ti < tj with group rows not a multiple of tj: a group's first
+    block starts before its column origin — regression test for the
+    negative-offset clip (which silently wrapped the buffer before)."""
+    ti, tj = tile
+    # HOST_BUF_BUDGET small enough that group_rows == ti < tj
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", 2000)
+    monkeypatch.setattr(engine, "HOST_BUF_BUDGET", 70 * 4 * 2 * (ti + 1))
+    fasta = make_fasta(random_seqs(rng, 70, 90, amb_frac=0.2))
+    got, _ = run_engine("raw", fasta, backend="xla", tile_i=ti, tile_j=tj)
+    assert got == expected_square("raw", fasta)
