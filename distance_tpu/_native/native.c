@@ -171,10 +171,11 @@ int64_t dt_format_rows_f64(const char *ids1, const int64_t *off1,
 /* Parse a whole FASTA buffer into a pre-allocated (n_records x width)
  * Paradis-encoded matrix, with ids/descriptions copied into blobs.
  *
- * Line handling matches the Python parser: records start with '>' at a
- * line start; id = first whitespace token, description = rest of the
- * header; sequence lines are concatenated with leading/trailing
- * blanks stripped.  Validation matches the reference: a byte that
+ * Line handling matches the Python parser (rust-bio trim_end semantics):
+ * records start with '>' at a line start; id = first whitespace token,
+ * description = rest of the header; sequence lines are concatenated with
+ * only TRAILING whitespace trimmed — leading/embedded whitespace reaches
+ * the encoder and errors.  Validation matches the reference: a byte that
  * encodes to 0 is an invalid nucleotide (reported with record index and
  * the byte), and a record whose length differs from `width` is ragged.
  *
@@ -242,12 +243,11 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
             while (i < len && data[i] != '\n') i++;
             int64_t end = i;
             if (i < len) i++; /* consume newline */
-            /* trim line edges */
-            while (start < end &&
-                   (data[start] == ' ' || data[start] == '\t')) start++;
+            /* trim trailing whitespace only (rust-bio trim_end) */
             while (end > start &&
                    (data[end - 1] == '\r' || data[end - 1] == ' ' ||
-                    data[end - 1] == '\t'))
+                    data[end - 1] == '\t' || data[end - 1] == '\v' ||
+                    data[end - 1] == '\f'))
                 end--;
             if (start == end) continue; /* blank */
             if (rec < 0) {

@@ -71,6 +71,9 @@ class Setup:
     shard: Optional[Tuple[int, int]] = None
     # Checkpoint/resume sidecar (see progress.py); None disables.
     progress: Optional[object] = None
+    # Input-file fingerprints recorded in the progress sidecar so --resume
+    # refuses to continue against changed inputs.
+    input_fp: Optional[List[dict]] = None
 
 
 def set_up(args) -> Setup:
@@ -121,12 +124,19 @@ def set_up(args) -> Setup:
                 aln.count_bases()
 
     tracker = None
+    input_fp = None
     resume = bool(getattr(args, "resume", False))
     if resume:
         if args.output is None:
             raise DistanceError("--resume requires -o/--output")
         from distance_tpu.progress import ProgressTracker
 
+        # Fingerprint the inputs so a resume against swapped/edited files
+        # is refused instead of silently appending mismatched rows.
+        fp_paths = list(consolidated)
+        if args.stream not in (None, "-"):
+            fp_paths.append(args.stream)
+        input_fp = _input_fingerprint(fp_paths)
         tracker = ProgressTracker(args.output)
         if tracker.load() and _os.path.exists(args.output):
             out = open(args.output, "r+b")
@@ -143,12 +153,15 @@ def set_up(args) -> Setup:
         )
 
     if args.threads is None:
+        # omitting -t "spins up the number of available CPUs"
+        # (/root/reference/src/lib.rs:262) — the default pool is sized
+        # from the machine, not a fixed constant
         n_threads = _os.cpu_count() or 1
     else:
         n_threads = max(1, args.threads)
-        # the reference's -t sizes its worker pool; here host-side
-        # parallelism is the transfer/finalize pool
-        configure_fetch_pool(n_threads)
+    # the reference's -t sizes its worker pool; here host-side
+    # parallelism is the transfer/finalize pool
+    configure_fetch_pool(n_threads)
 
     shard = None
     shard_arg = getattr(args, "shard", None)
@@ -172,7 +185,9 @@ def set_up(args) -> Setup:
     return Setup(
         loaded=loaded,
         streamed=streamed,
-        writer=TsvWriter(out),
+        writer=TsvWriter(
+            out, on_broken_pipe=tracker.clear if tracker else None
+        ),
         measure=args.measure,
         n_threads=n_threads,
         batchsize=max(1, args.batchsize),
@@ -180,7 +195,33 @@ def set_up(args) -> Setup:
         consensus=cons,
         shard=shard,
         progress=tracker,
+        input_fp=input_fp,
     )
+
+
+def _input_fingerprint(paths: Sequence[str]) -> List[dict]:
+    """Cheap input identity for resume safety: per-file size plus a hash
+    of the first and last 64 KiB (content-based; mtime alone is too
+    brittle across copies)."""
+    import hashlib
+
+    fps: List[dict] = []
+    for p in paths:
+        st = _os.stat(p)
+        h = hashlib.blake2b(digest_size=16)
+        with open(p, "rb") as f:
+            h.update(f.read(1 << 16))
+            if st.st_size > (1 << 16):
+                f.seek(max(1 << 16, st.st_size - (1 << 16)))
+                h.update(f.read(1 << 16))
+        fps.append(
+            {
+                "path": _os.path.abspath(p),
+                "size": st.st_size,
+                "hash": h.hexdigest(),
+            }
+        )
+    return fps
 
 
 def run(setup: Setup) -> None:
@@ -196,6 +237,7 @@ def run(setup: Setup) -> None:
             "mode": "stream" if setup.streamed is not None else "load",
             # stream-mode emission groups depend on the batch size
             "batchsize": setup.batchsize,
+            "inputs": setup.input_fp,
         }
         mismatch = setup.progress.check_config(cfg)
         if mismatch:
@@ -489,9 +531,27 @@ def _run_load(setup: Setup) -> None:
         _sweep_rectangle(setup, setup.loaded[0], setup.loaded[-1])
 
 
-def _choose_tiles(n1: int, n2: int, setup: Setup) -> Tuple[int, int]:
+def _choose_tiles(
+    n1: int, n2: int, setup: Setup, backend: str = "numpy"
+) -> Tuple[int, int]:
     ti = min(setup.tile_i, _pow2_at_least(n1))
     tj = min(setup.tile_j, _pow2_at_least(n2))
+    if backend == "xla":
+        import jax
+
+        ndev = jax.device_count()
+        if ndev > 1 and tj % ndev:
+            # Multi-chip pair-DP shards each block's column axis across
+            # the mesh; a non-divisible tile would silently fall back to
+            # one device, so round the tile up instead (padding keeps
+            # slices in bounds; output bytes are tile-size independent).
+            adj = -(-tj // ndev) * ndev
+            print(
+                f"[distance-tpu] note: tile_j {tj} -> {adj}"
+                f" (multiple of {ndev} devices)",
+                file=sys.stderr,
+            )
+            tj = adj
     return ti, tj
 
 
@@ -510,7 +570,11 @@ def _pow2_at_least(n: int) -> int:
 import os as _os
 
 FETCH_CHUNK_BYTES = int(_os.environ.get("DISTANCE_TPU_FETCH_CHUNK", 4 << 20))
-FETCH_THREADS = int(_os.environ.get("DISTANCE_TPU_FETCH_THREADS", 8))
+# Default transfer-pool width follows the machine (the reference defaults
+# its worker pool to num_cpus, src/lib.rs:262); -t and the env var override.
+FETCH_THREADS = int(_os.environ.get("DISTANCE_TPU_FETCH_THREADS", 0)) or min(
+    32, _os.cpu_count() or 8
+)
 # Strips dispatched ahead of the one currently being fetched/emitted.
 STRIP_LOOKAHEAD = int(_os.environ.get("DISTANCE_TPU_LOOKAHEAD", 6))
 
@@ -725,7 +789,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     ):
         _sweep_square_blocked(setup, aln, source, width, same_offset, backend)
         return
-    ti, tj = _choose_tiles(n, n, setup)
+    ti, tj = _choose_tiles(n, n, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     mat = eng.prepare(source, max(ti, tj))
     plan = eng.plan
@@ -800,7 +864,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
     order, so output bytes are identical to the in-core sweep.
     """
     n = aln.n
-    ti, tj = _choose_tiles(n, n, setup)
+    ti, tj = _choose_tiles(n, n, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     plan = eng.plan
     l_pad = -(-max(width, 1) // 128) * 128
@@ -920,7 +984,7 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     if pruned is not None:
         (src1, src2), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, float(n1) * n2 * max(width, 1))
-    ti, tj = _choose_tiles(n1, n2, setup)
+    ti, tj = _choose_tiles(n1, n2, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     m1 = eng.prepare(src1, ti)
     m2 = eng.prepare(src2, tj)

@@ -50,10 +50,13 @@ def _err_empty_fasta() -> str:
 def parse_fasta(handle: BinaryIO) -> Iterator[Tuple[str, str, bytes]]:
     """Yield ``(id, description, sequence_bytes)`` per record.
 
-    Follows the same conventions as the reference's FASTA reader: a record
-    header is ``>`` followed by an id (first whitespace-delimited token) and
-    an optional description; sequence lines are concatenated with
-    end-of-line whitespace stripped.
+    Follows the same conventions as the reference's FASTA reader
+    (rust-bio, /root/reference/src/fastaio.rs:1-2): a record header is
+    ``>`` followed by an id (first whitespace-delimited token) and an
+    optional description; sequence lines are concatenated with only
+    TRAILING whitespace trimmed (``trim_end`` semantics) — leading or
+    embedded whitespace reaches the encoder and errors as an invalid
+    nucleotide, exactly like the reference.
     """
     header: Optional[str] = None
     chunks: List[bytes] = []
@@ -71,7 +74,7 @@ def parse_fasta(handle: BinaryIO) -> Iterator[Tuple[str, str, bytes]]:
                 if line.strip() == b"":
                     continue
                 raise DistanceError("Expected '>' at FASTA record start")
-            chunks.append(line.strip())
+            chunks.append(line.rstrip())
     if header is not None:
         yield _split_header(header) + (b"".join(chunks),)
 
@@ -207,7 +210,7 @@ def _first_record_width(data: bytes) -> Optional[int]:
         return 0
     nxt = data.find(b"\n>", eol)
     block = data[eol + 1 : None if nxt < 0 else nxt + 1]
-    return sum(len(line.strip()) for line in block.split(b"\n"))
+    return sum(len(line.rstrip()) for line in block.split(b"\n"))
 
 
 def _load_fasta_native(data: bytes) -> Optional[Alignment]:

@@ -40,6 +40,17 @@ def counters_xla(
       (n_counters, m, n) int32 — exact integer counters.
     """
     prefer = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    if prefer == jnp.float32:
+        # Float accumulation is exact only while every partial sum stays
+        # below 2^24 (products are in {-1, 0, 1}; a counter's magnitude
+        # is bounded by channels * L).  The int8/int32 path has no bound.
+        max_chans = max(hi - lo for _, lo, hi in plan.slices)
+        if max_chans * x_codes.shape[1] >= 1 << 24:
+            raise ValueError(
+                "float accumulation would lose integer exactness for "
+                f"width {x_codes.shape[1]} x {max_chans} channels; use "
+                "the default int8 dtype"
+            )
     fx = features_device(x_codes, plan, "f", jnp, dtype)  # (R, m, L)
     gy = features_device(y_codes, plan, "g", jnp, dtype)  # (R, n, L)
     outs = []

@@ -38,22 +38,33 @@ def format_float(v: float) -> str:
 class TsvWriter:
     """Streaming TSV writer over a binary file object."""
 
-    def __init__(self, out: BinaryIO):
+    def __init__(self, out: BinaryIO, on_broken_pipe=None):
         self._out = out
         self._wrote_header = False
+        # Invoked before the silent exit-0 on a broken pipe — used by the
+        # engine to drop a now-inconsistent resume sidecar.
+        self._on_broken_pipe = on_broken_pipe
+
+    def _broken_pipe_exit(self) -> None:
+        # /root/reference/src/lib.rs:598-608
+        if self._on_broken_pipe is not None:
+            try:
+                self._on_broken_pipe()
+            except Exception:
+                pass
+        try:
+            sys.stderr.close()
+        except Exception:
+            pass
+        import os
+
+        os._exit(0)
 
     def _write(self, data: bytes) -> None:
         try:
             self._out.write(data)
         except BrokenPipeError:
-            # /root/reference/src/lib.rs:598-608
-            try:
-                sys.stderr.close()
-            except Exception:
-                pass
-            import os
-
-            os._exit(0)
+            self._broken_pipe_exit()
 
     def header(self) -> None:
         if not self._wrote_header:
@@ -82,9 +93,7 @@ class TsvWriter:
         try:
             self._out.flush()
         except BrokenPipeError:
-            import os
-
-            os._exit(0)
+            self._broken_pipe_exit()
 
     def tell(self) -> int:
         return self._out.tell()

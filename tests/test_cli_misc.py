@@ -46,3 +46,22 @@ def test_threads_zero_clamps():
                 input_data=b">a\nACGT\n>b\nACGA\n")
     assert r.returncode == 0
     assert b"a\tb\t1" in r.stdout
+
+
+def test_default_threads_and_pool_from_cpu_count(tmp_path, monkeypatch):
+    """Omitting -t sizes the host pool from the machine's CPU count
+    (/root/reference/src/lib.rs:262 semantics)."""
+    import os
+
+    import distance_tpu.engine as engine
+    from distance_tpu.cli import build_parser
+
+    monkeypatch.setattr(engine, "_fetch_pool", None)
+    fp = tmp_path / "a.fasta"
+    fp.write_bytes(b">a\nACGT\n>b\nACGT\n")
+    args = build_parser().parse_args([str(fp), "-m", "n"])
+    setup = engine.set_up(args)
+    ncpu = os.cpu_count() or 1
+    assert setup.n_threads == ncpu
+    pool = engine._get_fetch_pool()
+    assert pool._max_workers == min(32, ncpu)

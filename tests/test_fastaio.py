@@ -176,3 +176,49 @@ def test_stream_tn93_uppercase_only_quirk():
     data = b">r\nacgtACGT\n"
     [batch] = list(stream_fasta(io.BytesIO(data), 8, "tn93", None, 1))
     assert batch.base_counts[0].tolist() == [1, 1, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# Whitespace trim semantics (rust-bio trim_end parity across both parsers)
+# ---------------------------------------------------------------------------
+
+def _native_or_skip():
+    from distance_tpu._native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+
+
+def _load_native(data: bytes):
+    from distance_tpu.fastaio import _load_fasta_native
+
+    return _load_fasta_native(data)
+
+
+def test_trailing_whitespace_trimmed_both_paths():
+    # rust-bio trim_end removes trailing space/tab/CR/VT/FF
+    data = b">a\nACGT \t\x0b\x0c\r\n>b\nAC\nGT\t \n"
+    a1 = load1(data)
+    assert a1.width == 4 and a1.n == 2
+    _native_or_skip()
+    a2 = _load_native(data)
+    assert np.array_equal(a1.matrix, a2.matrix)
+    assert a1.ids == a2.ids
+
+
+@pytest.mark.parametrize(
+    "data,badchar",
+    [
+        (b">a\n ACGT\n", " "),        # leading space reaches the encoder
+        (b">a\n\x0bACGT\n", "\x0b"),  # leading VT
+        (b">a\nAC GT\n", " "),        # embedded space
+    ],
+)
+def test_nonend_whitespace_is_invalid_both_paths(data, badchar):
+    with pytest.raises(DistanceError) as e1:
+        load1(data)
+    assert f"'{badchar}'" in str(e1.value)
+    _native_or_skip()
+    with pytest.raises(DistanceError) as e2:
+        _load_native(data)
+    assert str(e1.value) == str(e2.value)

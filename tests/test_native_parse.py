@@ -31,7 +31,7 @@ def assert_equal_alignments(a, b):
     b">a desc here\nACGT\n>b  two  words\nacgt\n",
     b">a\nAC\nGT\n>b\nACGT\n",                       # multi-line
     b">a\r\nACGT\r\n>b\r\nNRYK\r\n",                 # CRLF
-    b">a\n ACGT \n>b\nACGT\n",                       # edge blanks
+    b">a\nACGT \n>b\nACGT\n",                        # trailing blank
     b">lone\nACGTRMWSKYVHDBN-?\n",                   # all codes
     b">a\nACGT",                                      # no trailing newline
     b">a\n\nAC\n\nGT\n>b\nACGT\n\n",                 # blank lines

@@ -119,3 +119,36 @@ def test_cli_resume_requires_output(tmp_path, fasta):
     )
     assert r.returncode == 1
     assert b"--resume requires -o" in r.stderr
+
+
+def test_resume_refuses_swapped_input(tmp_path, fasta, monkeypatch):
+    """The sidecar records input fingerprints; resuming against a changed
+    input file is an error, not silent corruption."""
+    from distance_tpu.cli import build_parser
+    from distance_tpu.fastaio import DistanceError
+
+    fp = tmp_path / "a.fasta"
+    fp.write_bytes(fasta)
+    out = tmp_path / "d.tsv"
+    argv = [str(fp), "-m", "raw", "--backend", "numpy", "-o", str(out),
+            "--resume"]
+    setup = engine.set_up(build_parser().parse_args(argv))
+    assert setup.input_fp and setup.input_fp[0]["size"] == len(fasta)
+
+    orig = engine._progress_mark
+
+    def bomb(s, units):
+        orig(s, units)
+        raise _Boom()
+
+    monkeypatch.setattr(engine, "_progress_mark", bomb)
+    with pytest.raises(_Boom):
+        run(setup)
+    monkeypatch.setattr(engine, "_progress_mark", orig)
+    assert (tmp_path / "d.tsv.progress").exists()
+
+    # swap the input: same width, one extra record
+    fp.write_bytes(fasta + b">zz\n" + b"A" * 60 + b"\n")
+    setup2 = engine.set_up(build_parser().parse_args(argv))
+    with pytest.raises(DistanceError, match="Cannot resume"):
+        run(setup2)

@@ -106,21 +106,42 @@ def test_cli_shard_flag(tmp_path, fastas):
     assert b"".join(outs) == expected_square("n", f1)
 
 
-def test_shard_errors():
+@pytest.mark.parametrize("bad", ["bogus", "2/2", "-1/2", "0/0"])
+def test_shard_errors(tmp_path, bad):
+    import re
+
     from distance_tpu.cli import build_parser
     from distance_tpu.engine import set_up
     from distance_tpu.fastaio import DistanceError
 
-    args = build_parser().parse_args(["-m", "n", "--shard", "bogus"])
-    with pytest.raises(DistanceError):
-        # no input needed: shard parse fails before reads? set_up loads
-        # stdin first, so craft a file
-        import tempfile
-
-        f = tempfile.NamedTemporaryFile(suffix=".fasta", delete=False)
-        f.write(b">a\nACGT\n")
-        f.close()
-        args = build_parser().parse_args(
-            [f.name, "-m", "n", "--shard", "bogus"]
-        )
+    fp = tmp_path / "a.fasta"
+    fp.write_bytes(b">a\nACGT\n>b\nACGT\n")
+    args = build_parser().parse_args([str(fp), "-m", "n", f"--shard={bad}"])
+    with pytest.raises(DistanceError, match=re.escape(f"--shard '{bad}'")):
         set_up(args)
+
+
+def test_tile_autoadjust_multidevice(capfd):
+    """A tile_j that does not divide the device count is rounded up (with
+    a note) instead of silently dropping to one device."""
+    import jax
+
+    from distance_tpu.engine import _choose_tiles
+
+    nd = jax.device_count()
+    if nd <= 1:
+        pytest.skip("single device")
+    setup = Setup(
+        loaded=[], streamed=None, writer=None, measure="raw",
+        n_threads=1, batchsize=1, tile_i=8, tile_j=nd * 12 + 1,
+    )
+    ti, tj = _choose_tiles(500, 500, setup, "xla")
+    assert tj % nd == 0 and tj >= nd * 12 + 1
+    assert "tile_j" in capfd.readouterr().err
+
+
+def test_xla_nondivisible_tile_parity(fastas):
+    """Full-run byte parity when the requested tile needed adjustment."""
+    f1, _ = fastas
+    got = run_shard("raw", f1, None, None, tile=10)
+    assert got == expected_square("raw", f1)
