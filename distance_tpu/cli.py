@@ -114,8 +114,45 @@ def build_parser() -> argparse.ArgumentParser:
         "--shard", default=None, metavar="K/N",
         help=(
             "Multi-host sharding (engine extension): compute the K-th of"
-            " N balanced row-strip ranges (K in 0..N-1). Concatenating"
-            " the N outputs in K order reproduces the unsharded file"
+            " N balanced work shards (K in 0..N-1). Load-mode shard"
+            " outputs concatenate to the unsharded file; stream-mode"
+            " shards write a .units sidecar and merge via --merge"
+        ),
+    )
+    p.add_argument(
+        "--launch", type=int, default=None, metavar="N",
+        help=(
+            "Single-command multi-process run (engine extension): spawn"
+            " N local shard workers and merge their outputs; the final"
+            " file is byte-identical to an unsharded run"
+        ),
+    )
+    p.add_argument(
+        "--num-hosts", type=int, default=None, metavar="N",
+        help=(
+            "Multi-host run over a shared filesystem (engine extension):"
+            " total number of hosts; each host computes its shard into"
+            " <output>.partK and host 0 merges"
+        ),
+    )
+    p.add_argument(
+        "--host-id", type=int, default=None, metavar="K",
+        help="This host's index in 0..N-1 (with --num-hosts)",
+    )
+    p.add_argument(
+        "--coordinator", default=None, metavar="ADDR",
+        help=(
+            "jax.distributed coordinator address (host:port); derives"
+            " --num-hosts/--host-id from the runtime rendezvous and"
+            " initializes the global device mesh"
+        ),
+    )
+    p.add_argument(
+        "--merge", nargs="+", default=None, metavar="PART",
+        help=(
+            "Merge shard part files into -o/--output (or stdout) and"
+            " exit; interleaves stream-mode parts via their .units"
+            " sidecars, concatenates load-mode parts"
         ),
     )
     p.add_argument(
@@ -140,8 +177,38 @@ def main(argv=None) -> int:
     from distance_tpu.engine import run, set_up
 
     try:
-        setup = set_up(args)
-        run(setup)
+        if args.merge is not None:
+            from distance_tpu.parallel.multihost import merge_parts
+
+            out = (
+                sys.stdout.buffer if args.output is None
+                else open(args.output, "wb")
+            )
+            merge_parts(out, args.merge, cleanup=False)
+            out.flush()
+            if args.output is not None:
+                out.close()
+            return 0
+        if args.launch is not None:
+            from distance_tpu.parallel.multihost import launch
+
+            return launch(args)
+
+        from distance_tpu.parallel.multihost import (
+            finish_multihost,
+            resolve_multihost,
+        )
+
+        ctx = resolve_multihost(args)
+        try:
+            setup = set_up(args)
+            run(setup)
+        except DistanceError as e:
+            if ctx is not None:
+                finish_multihost(ctx, ok=False, err=str(e))
+            raise
+        if ctx is not None:
+            finish_multihost(ctx, ok=True)
     except DistanceError as e:
         # The reference prints the error Debug-style from main and exits 1
         # (src/main.rs:4-16 with DistanceError's empty Display).

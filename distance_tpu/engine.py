@@ -74,6 +74,9 @@ class Setup:
     # Input-file fingerprints recorded in the progress sidecar so --resume
     # refuses to continue against changed inputs.
     input_fp: Optional[List[dict]] = None
+    # Output path (None for stdout) — sharded stream runs keep a .units
+    # sidecar next to it for the multi-host merge.
+    out_path: Optional[str] = None
 
 
 def set_up(args) -> Setup:
@@ -177,10 +180,6 @@ def set_up(args) -> Setup:
             raise DistanceError(
                 f"Invalid --shard '{shard_arg}': need 0 <= K < N"
             )
-        if streamed is not None:
-            raise DistanceError(
-                "--shard is not supported together with -s/--stream"
-            )
 
     return Setup(
         loaded=loaded,
@@ -196,6 +195,7 @@ def set_up(args) -> Setup:
         shard=shard,
         progress=tracker,
         input_fp=input_fp,
+        out_path=args.output,
     )
 
 
@@ -1034,7 +1034,32 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
 def _run_stream(setup: Setup) -> None:
     aln = setup.loaded[0]
     n1, width = aln.n, aln.width
+    # Multi-host stream sharding: device-dispatch groups are assigned
+    # round-robin by global group ordinal (every shard parses the whole
+    # stream — cheap next to the n1 x rows compute — but dispatches only
+    # its groups).  Emission order within a shard is ascending ordinal,
+    # so a .units byte index per part lets the multi-host merge
+    # interleave parts into the exact single-host byte stream.
+    shard_k, shard_n = setup.shard if setup.shard is not None else (0, 1)
+    done = _resume_skip(setup)
+    unit_index = None
+    if setup.shard is not None and setup.out_path is not None:
+        from distance_tpu.parallel.multihost import UnitIndex
+
+        unit_index = UnitIndex(setup.out_path)
+        if done:
+            if not unit_index.load() or len(unit_index.units) < done:
+                raise DistanceError(
+                    "Cannot resume sharded stream: missing or short"
+                    f" units index {unit_index.sidecar}"
+                )
+            unit_index.truncate(done)
     setup.writer.header()
+    if unit_index is not None and not done:
+        try:
+            unit_index.preamble = setup.writer.tell()
+        except (OSError, AttributeError):
+            unit_index = None
     # Records stream at the user's -b granularity (reference semantics,
     # fastaio.rs:256-277); the engine groups consecutive user batches
     # into ~DEV_BATCH_ROWS device dispatches.  Success output is
@@ -1051,10 +1076,11 @@ def _run_stream(setup: Setup) -> None:
     plan = eng.plan
 
     pending: List[tuple] = []
-    done = _resume_skip(setup)
 
     def flush_one() -> None:
-        ordinal, ids2, bcounts, handle, bn, redispatch = pending.pop(0)
+        g_ord, local_ord, ids2, bcounts, handle, bn, redispatch = (
+            pending.pop(0)
+        )
         strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
         # Emission: for each streamed record (outer), all loaded (inner)
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
@@ -1070,20 +1096,31 @@ def _run_stream(setup: Setup) -> None:
         else:
             qc = tc = None
         values = finalize_block(setup.measure, counters, qc, tc)
+        if unit_index is not None:
+            pos0 = setup.writer.tell()
         setup.writer.rows(aln.ids, ids2, row_idx, local_cols, values)
-        _progress_mark(setup, ordinal + 1)
+        if unit_index is not None:
+            unit_index.append(g_ord, setup.writer.tell() - pos0)
+            unit_index.save()
+        _progress_mark(setup, local_ord + 1)
 
     group: List[object] = []
     group_rows = 0
-    ordinal = 0
+    g_ordinal = 0  # global group ordinal (shard-independent)
+    local_idx = 0  # this shard's completed-unit counter (resume key)
 
     def dispatch_group() -> None:
-        nonlocal group, group_rows, ordinal
+        nonlocal group, group_rows, g_ordinal, local_idx
         if not group:
             return
-        this_ordinal = ordinal
-        ordinal += 1
-        if this_ordinal < done:
+        this_global = g_ordinal
+        g_ordinal += 1
+        if this_global % shard_n != shard_k:
+            group, group_rows = [], 0
+            return
+        this_local = local_idx
+        local_idx += 1
+        if this_local < done:
             group, group_rows = [], 0
             return
         ids2 = [i for b in group for i in b.ids]
@@ -1119,8 +1156,9 @@ def _run_stream(setup: Setup) -> None:
             )
 
         pending.append(
-            (this_ordinal, ids2, bcounts, _AsyncFetch(dispatch(), axis=1),
-             bn, lambda mode, m2=m2, rp=rows_pad: dispatch(m2, rp, mode))
+            (this_global, this_local, ids2, bcounts,
+             _AsyncFetch(dispatch(), axis=1), bn,
+             lambda mode, m2=m2, rp=rows_pad: dispatch(m2, rp, mode))
         )
         # Keep at most 2 groups in flight (double buffering).
         while len(pending) > 2:
