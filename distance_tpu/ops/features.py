@@ -22,10 +22,14 @@ Counter decompositions (bA/bG/bC/bT = candidacy bits, kn = known bit,
 eX = exact-base indicator = bX & kn, valid = code != 0):
 
 * ``diff``  [(a & b) < 16, measures.rs:17]: candidacy sets disjoint.
-  Inclusion-exclusion over subsets k of {A,G,C,T}:
-      [S cap T = empty] = sum_k (-1)^|k| prod_{b in k} bB(x) * bB(y)
-  16 channels; the empty-set (constant) channel uses ``valid`` so padded
-  sites (code 0) contribute nothing.
+  The 16-term inclusion-exclusion over subsets of {A,G,C,T} is rank
+  deficient: nibble 15 (N, -, ?) intersects every candidacy set, so its
+  row/column of the disjointness matrix is zero, and the matrix
+  restricted to nibbles 1..14 is invertible — rank exactly 14.  The
+  minimal factorization is the one-hot/table form
+      [S cap T = empty] = sum_{n=1..14} [hi(x) = n] * [n & hi(y) = 0]
+  with a ``valid`` gate on the y side so padded sites (code 0)
+  contribute nothing — 14 channels, all features in {0, 1}.
 * ``same``  [a == b && a & 8 == 8, measures.rs:60]: sum of eX(x) * eX(y)
   over the four bases — 4 channels.
 * ``ts``    (k80 transitions, measures.rs:91-98): within a
@@ -91,6 +95,12 @@ def eval_prim(prim: Prim, v, xp=np):
         out = (v != 0) * (1 - ((v >> 7) & 1)) * (1 - ((v >> 6) & 1))
     elif kind == "known":
         out = (v >> 3) & 1
+    elif kind == "hieq":
+        # one-hot on the candidacy nibble: [hi(v) == arg]
+        out = (v >> 4) == arg
+    elif kind == "disj":
+        # disjointness table row: [hi(v) & arg == 0], gated on valid
+        out = (((v >> 4) & arg) == 0) * (v != 0)
     else:
         raise ValueError(f"unknown primitive {kind!r}")
     if xp is np:
@@ -109,7 +119,7 @@ _EA, _EG, _EC, _ET = ("exact", 0), ("exact", 1), ("exact", 2), ("exact", 3)
 
 COUNTER_CHANNELS: Dict[str, List[Channel]] = {
     "diff": [
-        ((-1) ** _popcount4(m), ("bits", m), ("bits", m)) for m in range(16)
+        (1, ("hieq", n), ("disj", n)) for n in range(1, 15)
     ],
     "same": [(1, _EA, _EA), (1, _EG, _EG), (1, _EC, _EC), (1, _ET, _ET)],
     "ts": [(1, _EA, _EG), (1, _EG, _EA), (1, _EC, _ET), (1, _ET, _EC)],

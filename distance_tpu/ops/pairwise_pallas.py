@@ -70,6 +70,12 @@ def _eval_prim_i32(prim, v32):
         )
     if kind == "known":
         return (v32 >> 3) & 1
+    if kind == "hieq":
+        return ((v32 >> 4) == arg).astype(jnp.int32)
+    if kind == "disj":
+        return (((v32 >> 4) & arg) == 0).astype(jnp.int32) * (
+            v32 != 0
+        ).astype(jnp.int32)
     raise ValueError(f"unknown primitive {kind!r}")
 
 

@@ -86,3 +86,19 @@ def test_device_features_match_luts_jax(measure):
             plan.total_channels, 2, 128
         )
         assert np.array_equal(feats, want), (measure, side)
+
+
+def test_diff_decomposition_is_rank_minimal():
+    """The disjointness predicate has bilinear rank exactly 14 (nibble 15
+    intersects everything; nibbles 1..14 give an invertible matrix), and
+    the diff counter uses exactly that many channels."""
+    from distance_tpu.ops.features import COUNTER_CHANNELS
+
+    assert len(COUNTER_CHANNELS["diff"]) == 14
+    m = np.zeros((16, 16), dtype=np.int64)
+    for x in range(16):
+        for y in range(16):
+            m[x, y] = 1 if (x & y) == 0 else 0
+    sub = m[1:15, 1:15]
+    assert np.linalg.matrix_rank(sub) == 14  # no further reduction exists
+    assert not m[15, 1:].any() and not m[1:, 15].any()
