@@ -53,8 +53,6 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     p_c = ctypes.c_char_p
 
-    lib.dt_log_inplace.argtypes = [p_d, i64]
-    lib.dt_sqrt_inplace.argtypes = [p_d, i64]
     lib.dt_finalize_raw.argtypes = [p_i32, p_i32, p_d, i64]
     lib.dt_finalize_jc69.argtypes = [p_i32, p_i32, p_d, i64]
     lib.dt_finalize_k80.argtypes = [p_i32, p_i32, p_i32, p_d, i64]

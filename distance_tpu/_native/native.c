@@ -25,18 +25,6 @@
 /* Exact finalization helpers                                          */
 /* ------------------------------------------------------------------ */
 
-void dt_log_inplace(double *x, int64_t n) {
-    for (int64_t i = 0; i < n; i++) {
-        x[i] = log(x[i]);
-    }
-}
-
-void dt_sqrt_inplace(double *x, int64_t n) {
-    for (int64_t i = 0; i < n; i++) {
-        x[i] = sqrt(x[i]);
-    }
-}
-
 /* raw: n/d with 0/0 => NaN (IEEE), measures.rs:56-69 */
 void dt_finalize_raw(const int32_t *diff, const int32_t *same, double *out,
                      int64_t n) {

@@ -21,6 +21,7 @@ determinism oracle the reference enforces with its reorder buffer.
 from __future__ import annotations
 
 import functools
+import os as _os
 import sys
 from dataclasses import dataclass
 from typing import BinaryIO, Dict, List, Optional, Sequence, Tuple
@@ -123,8 +124,9 @@ def set_up(args) -> Setup:
             cons = consensus_fn(loaded)
     elif args.measure == "tn93":
         with phase_timer("count_bases"):
+            backend_req = getattr(args, "backend", "auto") or "auto"
             for aln in loaded:
-                aln.count_bases()
+                _count_bases_maybe_device(aln, backend_req)
 
     tracker = None
     input_fp = None
@@ -222,6 +224,41 @@ def _input_fingerprint(paths: Sequence[str]) -> List[dict]:
             }
         )
     return fps
+
+
+# Matrices at least this large count tn93 bases on-device: one chunked
+# upload + an (n, 4) reduction beats four full host passes at scale.
+BASE_COUNT_DEVICE_MIN_BYTES = int(
+    _os.environ.get("DISTANCE_TPU_BASECOUNT_DEVICE_MIN", 64 << 20)
+)
+
+
+def _count_bases_maybe_device(aln: Alignment, backend: str) -> None:
+    if (
+        backend != "numpy"
+        and aln.matrix.nbytes >= BASE_COUNT_DEVICE_MIN_BYTES
+    ):
+        try:
+            aln.base_counts = _count_bases_device(aln.matrix)
+            return
+        except Exception:
+            pass  # no usable device: the host path is always correct
+    aln.count_bases()
+
+
+def _count_bases_device(matrix: np.ndarray) -> np.ndarray:
+    """tn93 base-count precompute as a device reduction
+    (ops/pairwise_xla.base_counts_device), chunked through HBM."""
+    import jax.numpy as jnp
+
+    from distance_tpu.ops.pairwise_xla import base_counts_device
+
+    rows_per = max(1, H2D_CHUNK_BYTES // max(1, matrix.shape[1]))
+    outs = []
+    for r0 in range(0, matrix.shape[0], rows_per):
+        dev = jnp.asarray(np.ascontiguousarray(matrix[r0 : r0 + rows_per]))
+        outs.append(np.asarray(base_counts_device(dev)).astype(np.int64))
+    return np.concatenate(outs)
 
 
 def run(setup: Setup) -> None:
@@ -567,8 +604,6 @@ def _pow2_at_least(n: int) -> int:
 # of this many bytes rather than block-by-block, and chunk transfers are
 # submitted as soon as a strip is dispatched so the link stays busy
 # across strips.
-import os as _os
-
 FETCH_CHUNK_BYTES = int(_os.environ.get("DISTANCE_TPU_FETCH_CHUNK", 4 << 20))
 # Default transfer-pool width follows the machine (the reference defaults
 # its worker pool to num_cpus, src/lib.rs:262); -t and the env var override.

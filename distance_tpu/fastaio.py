@@ -113,15 +113,16 @@ class Alignment:
 
     Fields mirror the reference's per-record state
     (/root/reference/src/fastaio.rs:13-24) hoisted to matrix form:
-    ``base_counts`` is the tn93 per-record ATGC tally and ``differences``
-    the per-record consensus-difference index lists for measure ``n``.
+    ``base_counts`` is the tn93 per-record ATGC tally.  (The reference's
+    per-record consensus-difference lists, fastaio.rs:67-75, exist to
+    sparsify measure ``n``; the engine's invariant-column pruning is the
+    matrix-form generalization, so no per-record lists are kept.)
     """
 
     ids: List[str]
     descriptions: List[str]
     matrix: np.ndarray  # (n_seqs, L) uint8
     base_counts: Optional[np.ndarray] = None  # (n_seqs, 4) int64: A,T,G,C
-    differences: Optional[List[np.ndarray]] = None
 
     @property
     def n(self) -> int:
@@ -146,16 +147,6 @@ class Alignment:
             axis=1,
         ).astype(np.int64)
         return self.base_counts
-
-    def get_differences(self, cons: np.ndarray) -> List[np.ndarray]:
-        """Per-record sorted indices differing from the consensus.
-
-        Any difference apart from self codes >= 240 (N, -, ?) counts
-        (/root/reference/src/fastaio.rs:67-75).
-        """
-        mask = (self.matrix < 240) & (self.matrix != cons[None, :])
-        self.differences = [np.flatnonzero(row) for row in mask]
-        return self.differences
 
 
 # Files above this size parse through the native C path when available.

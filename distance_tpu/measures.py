@@ -73,23 +73,14 @@ def pair_counters(q: np.ndarray, t: np.ndarray) -> Dict[str, int]:
 # ---------------------------------------------------------------------------
 
 def snp(q: np.ndarray, t: np.ndarray) -> int:
-    """-m n_high: count of certainly-different sites
-    (/root/reference/src/measures.rs:14-23)."""
-    return int(np.count_nonzero((q.astype(np.int32) & t.astype(np.int32)) < 16))
-
-
-def snp_consensus(q: np.ndarray, t: np.ndarray,
-                  q_diffs: np.ndarray, t_diffs: np.ndarray) -> int:
-    """-m n: sparse scan over consensus-difference index unions
-    (/root/reference/src/measures.rs:28-53).  Returns the same value as
-    ``snp``; kept for component parity and used by the sparse host path.
+    """-m n / -m n_high: count of certainly-different sites
+    (/root/reference/src/measures.rs:14-23).  The reference's sparse
+    ``snp_consensus`` variant (measures.rs:28-53) returns the same value
+    by construction; its sparsification is generalized here as the
+    engine's exact invariant-column pruning
+    (engine._prune_invariant_columns), which benefits all six measures.
     """
-    qi = q.astype(np.int32)
-    ti = t.astype(np.int32)
-    d = int(np.count_nonzero((qi[q_diffs] & ti[q_diffs]) < 16))
-    rest = np.setdiff1d(t_diffs, q_diffs, assume_unique=True)
-    d += int(np.count_nonzero((qi[rest] & ti[rest]) < 16))
-    return d
+    return int(np.count_nonzero((q.astype(np.int32) & t.astype(np.int32)) < 16))
 
 
 def _raw_from_counts(n_diff: int, denom: int) -> float:

@@ -78,3 +78,23 @@ def test_base_counts_device():
     got = np.asarray(base_counts_device(jnp.asarray(x)))
     assert got[0].tolist() == [2, 2, 2, 2]
     assert got[1].tolist() == [11, 0, 0, 0]
+
+
+def test_count_bases_device_matches_host(monkeypatch):
+    """The wired device-side tn93 precompute equals the host tally."""
+    import distance_tpu.engine as engine
+    from distance_tpu.encoding import ALL_CODES
+    from distance_tpu.fastaio import Alignment
+
+    rng = np.random.default_rng(5)
+    mat = rng.choice(ALL_CODES, size=(37, 200)).astype(np.uint8)
+    aln = Alignment(ids=[], descriptions=[], matrix=mat)
+    host = aln.count_bases().copy()
+    # small chunk size forces the chunked path
+    monkeypatch.setattr(engine, "H2D_CHUNK_BYTES", 2000)
+    dev = engine._count_bases_device(mat)
+    assert np.array_equal(host, dev)
+    monkeypatch.setattr(engine, "BASE_COUNT_DEVICE_MIN_BYTES", 0)
+    aln2 = Alignment(ids=[], descriptions=[], matrix=mat)
+    engine._count_bases_maybe_device(aln2, "xla")
+    assert np.array_equal(aln2.base_counts, host)

@@ -25,18 +25,28 @@ def test_snp():
     assert measures.snp(t.matrix[0], q.matrix[0]) == 2
 
 
-def test_snp_consensus_equals_snp():
+def test_sparse_consensus_scan_equals_snp():
+    """Reference measures.rs:28-53 (local oracle): the sparse scan over
+    consensus-difference unions returns the same value as the dense
+    certainly-different count.  The engine implements only the dense
+    counter (plus invariant-column pruning as the matrix-form
+    sparsification); this pins why that is exact."""
     q, t = pair()
     from distance_tpu.fastaio import consensus, Alignment
+    from tests.test_fastaio import _reference_differences
 
     both = Alignment(
         ids=["t", "q"], descriptions=["", ""],
         matrix=np.vstack([t.matrix, q.matrix]),
     )
     c = consensus([both])
-    d = both.get_differences(c)
-    got = measures.snp_consensus(both.matrix[0], both.matrix[1], d[0], d[1])
-    assert got == 2
+    a, b = both.matrix[0].astype(np.int32), both.matrix[1].astype(np.int32)
+    da = _reference_differences(both.matrix[0], c)
+    db = _reference_differences(both.matrix[1], c)
+    d = int(np.count_nonzero((a[da] & b[da]) < 16))
+    rest = np.setdiff1d(db, da, assume_unique=True)
+    d += int(np.count_nonzero((a[rest] & b[rest]) < 16))
+    assert d == measures.snp(both.matrix[0], both.matrix[1]) == 2
 
 
 def test_raw():
