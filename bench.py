@@ -103,7 +103,9 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
         _AsyncFetch,
         _dispatch_strip,
         _fetch_strip,
+        _gather_strip_triangle,
         _pipeline_strips,
+        _tri_indices,
     )
 
     # warm up / compile
@@ -128,17 +130,10 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
                 eng, dev, dev, i0, col_starts, ti, tj, mode
             ),
         )
-        local, cols = [], []
-        for li in range(si):
-            i = i0 + li
-            js = np.arange(i + 1, n, dtype=np.int64)
-            local.append(np.full(js.shape, li, dtype=np.int64))
-            cols.append(js)
-        local_rows = np.concatenate(local) if local else np.zeros(0, np.int64)
-        col_idx = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+        local_rows, col_idx = _tri_indices(si, i0, n)
+        gathered = _gather_strip_triangle(strip, si, i0, n, i0)
         counters = {
-            name: strip[k, local_rows, col_idx - i0]
-            for k, name in enumerate(plan.counters)
+            name: gathered[k] for k, name in enumerate(plan.counters)
         }
         if base_counts is not None:
             finalize_block(

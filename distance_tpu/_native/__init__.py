@@ -69,6 +69,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_char_p, i64,
     ]
     lib.dt_format_rows_i64.restype = i64
+    lib.dt_format_rows_pre.argtypes = [
+        p_c, p_i64, p_c, p_i64, p_i32, p_i32,
+        p_c, p_i64, p_i32, i64, ctypes.c_void_p, i64,
+    ]
+    lib.dt_format_rows_pre.restype = i64
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
     lib.dt_cpu_raw_pairs.argtypes = [p_u8, i64, i64, p_i32, p_i32, i64]
     lib.dt_cpu_raw_pairs.restype = i64

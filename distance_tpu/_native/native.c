@@ -152,6 +152,36 @@ int64_t dt_format_rows_f64(const char *ids1, const int64_t *off1,
     return w;
 }
 
+/* Assembly-only row emitter: values arrive pre-formatted as a string
+ * table (vblob/voffs) plus a per-row index.  Low-diversity alignments
+ * have few distinct distances, so the caller formats each unique value
+ * once and this loop is pure memcpy. */
+int64_t dt_format_rows_pre(const char *ids1, const int64_t *off1,
+                           const char *ids2, const int64_t *off2,
+                           const int32_t *pair_i, const int32_t *pair_j,
+                           const char *vblob, const int64_t *voffs,
+                           const int32_t *vidx, int64_t n_rows, char *out,
+                           int64_t out_cap) {
+    int64_t w = 0;
+    for (int64_t r = 0; r < n_rows; r++) {
+        int64_t i = pair_i[r], j = pair_j[r], v = vidx[r];
+        int64_t l1 = off1[i + 1] - off1[i];
+        int64_t l2 = off2[j + 1] - off2[j];
+        int64_t lv = voffs[v + 1] - voffs[v];
+        if (w + l1 + l2 + lv + 3 > out_cap) return -1;
+        memcpy(out + w, ids1 + off1[i], l1);
+        w += l1;
+        out[w++] = '\t';
+        memcpy(out + w, ids2 + off2[j], l2);
+        w += l2;
+        out[w++] = '\t';
+        memcpy(out + w, vblob + voffs[v], lv);
+        w += lv;
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 /* ------------------------------------------------------------------ */
 /* FASTA parse + encode                                                */
 /* ------------------------------------------------------------------ */

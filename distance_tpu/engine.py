@@ -525,8 +525,94 @@ def _emit_pairs(
         qc = tc = None
     with phase_timer("finalize"):
         values = finalize_block(setup.measure, counters, qc, tc)
+    keys, keyspace = _value_keys(setup.measure, counters, aln1.width)
     with phase_timer("write"):
-        setup.writer.rows(aln1.ids, aln2.ids, pair_i, pair_j, values)
+        setup.writer.rows(
+            aln1.ids, aln2.ids, pair_i, pair_j, values, keys, keyspace
+        )
+
+
+def _value_keys(measure: str, counters: Dict[str, np.ndarray], width: int):
+    """Per-pair integer keys that determine the finalized value, when the
+    counters are small enough to pack (the common low-diversity regime).
+
+    A pair's distance is a pure function of its counters (plus the
+    constant alignment width); packing them into a small key lets the
+    writer format each distinct value once (sort-free memoization).
+    tn93 is excluded — its value also depends on the pair's base tallies.
+    """
+    if measure in ("n", "n_high"):
+        d = counters["diff"]
+        if d.size and int(d.max(initial=0)) < (1 << 16):
+            return d.astype(np.int32), 1 << 16
+        return None, 0
+    if measure in ("raw", "jc69"):
+        d = counters["diff"]
+        nonsame = width - (counters["same"] + d)
+        if (
+            d.size
+            and int(d.max(initial=0)) < 256
+            and 0 <= int(nonsame.min(initial=0))
+            and int(nonsame.max(initial=0)) < 256
+        ):
+            return (d << 8) | nonsame, 1 << 16
+        return None, 0
+    if measure == "k80":
+        ts, tv = counters["ts"], counters["tv"]
+        nonl = width - (counters["same"] + ts + tv)
+        if (
+            ts.size
+            and int(ts.max(initial=0)) < 256
+            and int(tv.max(initial=0)) < 256
+            and 0 <= int(nonl.min(initial=0))
+            and int(nonl.max(initial=0)) < 256
+        ):
+            return (nonl << 16) | (ts << 8) | tv, 1 << 24
+        return None, 0
+    return None, 0
+
+
+def _tri_indices(si: int, i0: int, n: int):
+    """Vectorized emission indices for one square-mode strip.
+
+    Rows i0..i0+si-1; row i emits columns i+1..n.  Returns
+    (local_rows int32, col_idx int32) in canonical (row-major) order.
+    """
+    rows = np.arange(si, dtype=np.int64)
+    counts = np.maximum(n - (i0 + rows) - 1, 0)
+    total = int(counts.sum())
+    local_rows = np.repeat(np.arange(si, dtype=np.int32), counts)
+    # concatenated ranges [i+1, n): global position minus the start of
+    # this row's run, plus the row's first column (fused int32 — the
+    # widened-int64 form of this arithmetic is ~100x slower)
+    starts = np.zeros(si, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    first_col = i0 + rows + 1
+    col_idx = np.arange(total, dtype=np.int32) - np.repeat(
+        (starts - first_col).astype(np.int32), counts
+    )
+    return local_rows, col_idx
+
+
+def _gather_strip_triangle(strip: np.ndarray, si: int, i0: int, n: int,
+                           col0: int) -> Dict[int, np.ndarray]:
+    """Gather the emitted (i < j) region of a (G, si, cols) strip whose
+    column axis starts at absolute column ``col0``.
+
+    Row li covers absolute columns i0+li+1 .. n-1; each row's region is
+    CONTIGUOUS in the strip, so this concatenates slices (memcpy speed)
+    instead of fancy-indexing ~0.12 us/pair.
+    """
+    out = {}
+    for k in range(strip.shape[0]):
+        parts = [
+            strip[k, li, i0 + li + 1 - col0 : n - col0] for li in range(si)
+        ]
+        out[k] = (
+            np.concatenate(parts) if len(parts) > 1
+            else parts[0].copy() if parts else np.empty(0, strip.dtype)
+        )
+    return out
 
 
 # Prune when at least this fraction of columns is invariant.
@@ -859,19 +945,12 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
             ),
         )
         # Rows i0..i0+si-1 in order: (i, j) for j in i+1..n.
-        local, cols = [], []
-        for li in range(si):
-            i = i0 + li
-            js = np.arange(i + 1, n, dtype=np.int32)
-            local.append(np.full(js.shape, li, dtype=np.int32))
-            cols.append(js)
-        if not cols:
+        local_rows, col_idx = _tri_indices(si, i0, n)
+        if col_idx.size == 0:
             return
-        local_rows = np.concatenate(local)
-        col_idx = np.concatenate(cols)
+        gathered = _gather_strip_triangle(strip, si, i0, n, i0)
         counters = {
-            name: strip[k, local_rows, col_idx - i0]
-            for k, name in enumerate(plan.counters)
+            name: gathered[k] for k, name in enumerate(plan.counters)
         }
         pair_i = local_rows.astype(np.int64) + i0
         _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
@@ -987,21 +1066,16 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             if ordinal < done:
                 continue
             si = min(ti, g1 - g0 - i0_loc)
-            local, cols = [], []
-            for li in range(si):
-                i = abs_i0 + li
-                js = np.arange(i + 1, n, dtype=np.int32)
-                local.append(np.full(js.shape, li + i0_loc, dtype=np.int32))
-                cols.append(js)
-            if not cols:
+            local_rows, col_idx = _tri_indices(si, abs_i0, n)
+            if col_idx.size == 0:
                 continue
-            local_rows = np.concatenate(local)
-            col_idx = np.concatenate(cols)
+            gathered = _gather_strip_triangle(
+                bufs[:, i0_loc : i0_loc + si], si, abs_i0, n, g0
+            )
             counters = {
-                name: bufs[k, local_rows, col_idx - g0]
-                for k, name in enumerate(plan.counters)
+                name: gathered[k] for k, name in enumerate(plan.counters)
             }
-            pair_i = local_rows.astype(np.int64) + g0
+            pair_i = (local_rows + i0_loc).astype(np.int64) + g0
             _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
                         same_offset)
             _progress_mark(setup, ordinal + 1)
@@ -1050,8 +1124,9 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
         )
         local_rows = np.repeat(np.arange(si, dtype=np.int32), n2)
         col_idx = np.tile(np.arange(n2, dtype=np.int32), si)
+        # row-major over the full (si, n2) rectangle == a flat view
         counters = {
-            name: strip[k, local_rows, col_idx]
+            name: np.ascontiguousarray(strip[k, :si, :n2]).reshape(-1)
             for k, name in enumerate(plan.counters)
         }
         pair_i = local_rows + i0
@@ -1121,8 +1196,9 @@ def _run_stream(setup: Setup) -> None:
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
         local_cols = np.repeat(np.arange(bn, dtype=np.int32), n1)
         row_idx = np.tile(np.arange(n1, dtype=np.int32), bn)
+        # streamed-major emission == the transposed (bn, n1) flat view
         counters = {
-            name: strip[k, row_idx, local_cols]
+            name: np.ascontiguousarray(strip[k, :n1, :bn].T).reshape(-1)
             for k, name in enumerate(plan.counters)
         }
         if setup.measure == "tn93":
@@ -1131,9 +1207,12 @@ def _run_stream(setup: Setup) -> None:
         else:
             qc = tc = None
         values = finalize_block(setup.measure, counters, qc, tc)
+        keys, keyspace = _value_keys(setup.measure, counters, width)
         if unit_index is not None:
             pos0 = setup.writer.tell()
-        setup.writer.rows(aln.ids, ids2, row_idx, local_cols, values)
+        setup.writer.rows(
+            aln.ids, ids2, row_idx, local_cols, values, keys, keyspace
+        )
         if unit_index is not None:
             unit_index.append(g_ord, setup.writer.tell() - pos0)
             unit_index.save()

@@ -42,10 +42,55 @@ def finalize_block(
     out = np.empty(n, dtype=np.float64)
     lib = get_lib()
     if lib is not None:
-        _finalize_native(lib, measure, counters, q_counts, t_counts, out)
+        if n >= 2 * _PAR_CHUNK:
+            _finalize_native_parallel(
+                lib, measure, counters, q_counts, t_counts, out
+            )
+        else:
+            _finalize_native(lib, measure, counters, q_counts, t_counts, out)
     else:
         _finalize_python(measure, counters, q_counts, t_counts, out)
     return out
+
+
+# The C finalizers release the GIL (plain ctypes calls), so large blocks
+# split across a small thread pool — the log/sqrt-heavy measures (jc69,
+# k80, tn93) are otherwise a serial ~10 M pairs/s ceiling per core.
+_PAR_CHUNK = 1 << 20
+_pool = None
+
+
+def _get_pool():
+    global _pool
+    if _pool is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
+    return _pool
+
+
+def _finalize_native_parallel(lib, measure, counters, q_counts, t_counts,
+                              out):
+    n = out.shape[0]
+    counters = {k: _as_i32(v) for k, v in counters.items()}
+    if q_counts is not None:
+        q_counts = np.ascontiguousarray(q_counts, dtype=np.int64)
+        t_counts = np.ascontiguousarray(t_counts, dtype=np.int64)
+    pool = _get_pool()
+
+    def run(a, b):
+        sub = {k: v[a:b] for k, v in counters.items()}
+        qc = q_counts[a:b] if q_counts is not None else None
+        tc = t_counts[a:b] if t_counts is not None else None
+        _finalize_native(lib, measure, sub, qc, tc, out[a:b])
+
+    futures = [
+        pool.submit(run, a, min(a + _PAR_CHUNK, n))
+        for a in range(0, n, _PAR_CHUNK)
+    ]
+    for f in futures:
+        f.result()
 
 
 def _as_i32(a: np.ndarray) -> np.ndarray:

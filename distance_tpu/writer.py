@@ -17,7 +17,7 @@ from __future__ import annotations
 import ctypes
 import math
 import sys
-from typing import BinaryIO, Dict, List, Sequence
+from typing import BinaryIO, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -83,10 +83,18 @@ class TsvWriter:
         pair_i: np.ndarray,
         pair_j: np.ndarray,
         values: np.ndarray,
+        keys: Optional[np.ndarray] = None,
+        keyspace: int = 0,
     ) -> None:
-        """Emit rows (ids1[pair_i[r]], ids2[pair_j[r]], values[r])."""
+        """Emit rows (ids1[pair_i[r]], ids2[pair_j[r]], values[r]).
+
+        ``keys``/``keyspace``: optional per-row integer keys that
+        determine each row's value — enables sort-free memoized
+        formatting (see _value_table)."""
         self.header()
-        data = _format_rows(ids1, ids2, pair_i, pair_j, values)
+        data = _format_rows(
+            ids1, ids2, pair_i, pair_j, values, keys, keyspace
+        )
         self._write(data)
 
     def flush(self) -> None:
@@ -114,6 +122,40 @@ def _id_blob(ids: Sequence[str]):
 # Rows formatted per native call — bounds the worst-case scratch buffer
 # (~360 B/row for extreme f64 values) to a few hundred MB.
 _FORMAT_CHUNK_ROWS = 1 << 20
+# Blocks at least this large try the unique-value table path, and native
+# chunks run on a thread pool (the C emitters release the GIL).
+_MEMO_MIN_ROWS = 1 << 16
+
+
+def _format_pool():
+    from distance_tpu.finalize import _get_pool
+
+    return _get_pool()
+
+
+def _value_table(values: np.ndarray, keys: np.ndarray, keyspace: int):
+    """(vblob, voffs, vidx) from caller-supplied value keys.
+
+    ``keys`` maps each row to an integer < ``keyspace`` that DETERMINES
+    its value (the engine derives keys from the small per-pair counters,
+    so equal keys imply bit-identical values).  Distances on real
+    alignments repeat heavily, so each distinct key's value is formatted
+    once and row emission becomes pure memcpy (dt_format_rows_pre).
+    Sort-free: one bincount + two O(n) gathers.
+    """
+    present = np.flatnonzero(np.bincount(keys, minlength=keyspace))
+    table = np.empty(keyspace, dtype=values.dtype)
+    table[keys] = values
+    if values.dtype == np.float64:
+        strs = [format_float(v).encode() for v in table[present]]
+    else:
+        strs = [b"%d" % v for v in table[present]]
+    rank = np.zeros(keyspace, dtype=np.int32)
+    rank[present] = np.arange(present.size, dtype=np.int32)
+    vidx = rank[keys]
+    voffs = np.zeros(len(strs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strs], out=voffs[1:])
+    return b"".join(strs), voffs, np.ascontiguousarray(vidx)
 
 
 def _format_rows(
@@ -122,6 +164,8 @@ def _format_rows(
     pair_i: np.ndarray,
     pair_j: np.ndarray,
     values: np.ndarray,
+    keys: Optional[np.ndarray] = None,
+    keyspace: int = 0,
 ) -> bytes:
     lib = get_lib()
     pair_i = np.ascontiguousarray(pair_i, dtype=np.int32)
@@ -139,44 +183,54 @@ def _format_rows(
             blob1, off1.ctypes.data_as(p_i64),
             blob2, off2.ctypes.data_as(p_i64),
         ]
-        out = []
-        ok = True
-        for c0 in range(0, n, _FORMAT_CHUNK_ROWS):
+        table = (
+            _value_table(values, keys, keyspace)
+            if keys is not None and n >= _MEMO_MIN_ROWS
+            else None
+        )
+        if table is not None:
+            return _assemble_keyed(
+                lib, id_args, off1, off2, pair_i, pair_j, table, n
+            )
+        if values.dtype == np.float64:
+            vals64 = np.ascontiguousarray(values)
+        else:
+            vals64 = np.ascontiguousarray(values, dtype=np.int64)
+
+        def chunk(c0: int) -> Optional[bytes]:
             c1 = min(c0 + _FORMAT_CHUNK_ROWS, n)
             cn = c1 - c0
-            pi = pair_i[c0:c1]
-            pj = pair_j[c0:c1]
-            if not pi.flags.c_contiguous:
-                pi = np.ascontiguousarray(pi)
-                pj = np.ascontiguousarray(pj)
+            pi = np.ascontiguousarray(pair_i[c0:c1])
+            pj = np.ascontiguousarray(pair_j[c0:c1])
             args = id_args + [
                 pi.ctypes.data_as(p_i32), pj.ctypes.data_as(p_i32),
             ]
-            # typical rows are short; retry with the f64 worst case (~360
-            # chars) only if the tight buffer overflows
-            w = -1
+            # typical rows are short; retry with the f64 worst case
+            # (~360 chars) only if the tight buffer overflows
             for per_row in (64, 384):
                 cap = cn * (max_id + per_row + 3) + 16
                 buf = ctypes.create_string_buffer(cap)
+                vs = vals64[c0:c1]
                 if values.dtype == np.float64:
-                    vals = np.ascontiguousarray(values[c0:c1])
                     w = lib.dt_format_rows_f64(
                         *args,
-                        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                        vs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                         cn, buf, cap,
                     )
                 else:
-                    vals = np.ascontiguousarray(values[c0:c1], dtype=np.int64)
                     w = lib.dt_format_rows_i64(
-                        *args, vals.ctypes.data_as(p_i64), cn, buf, cap,
+                        *args, vs.ctypes.data_as(p_i64), cn, buf, cap,
                     )
                 if w >= 0:
-                    break
-            if w < 0:
-                ok = False
-                break
-            out.append(ctypes.string_at(buf, w))
-        if ok:
+                    return ctypes.string_at(buf, w)
+            return None
+
+        starts = list(range(0, n, _FORMAT_CHUNK_ROWS))
+        if len(starts) > 1:
+            out = list(_format_pool().map(chunk, starts))
+        else:
+            out = [chunk(starts[0])]
+        if all(o is not None for o in out):
             return b"".join(out)
     # Python fallback
     parts: List[str] = []
@@ -189,6 +243,49 @@ def _format_rows(
         for r in range(n):
             parts.append(f"{ids1[pair_i[r]]}\t{ids2[pair_j[r]]}\t{int(values[r])}\n")
     return "".join(parts).encode()
+
+
+def _assemble_keyed(lib, id_args, off1, off2, pair_i, pair_j, table, n):
+    """Zero-copy emission for the keyed path: row lengths are known
+    exactly up front (id lengths + value-string lengths), so chunks of
+    dt_format_rows_pre write straight into one exact-size buffer in
+    parallel — no zero-fill, no per-chunk copy, no final join."""
+    vblob, voffs, vidx = table
+    # int32 throughout: int64 fancy-gathers are an order of magnitude
+    # slower on common hosts, and every length fits easily
+    idl1 = (off1[1:] - off1[:-1]).astype(np.int32)
+    idl2 = (off2[1:] - off2[:-1]).astype(np.int32)
+    vlen = (voffs[1:] - voffs[:-1]).astype(np.int32)
+    row_len = idl1[pair_i] + idl2[pair_j] + vlen[vidx] + 3
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_len, out=bounds[1:])
+    total = int(bounds[-1])
+    out = bytearray(total)
+    base = ctypes.addressof((ctypes.c_char * 1).from_buffer(out))
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+
+    def chunk(c0: int) -> bool:
+        c1 = min(c0 + _FORMAT_CHUNK_ROWS, n)
+        off = int(bounds[c0])
+        cap = int(bounds[c1]) - off
+        w = lib.dt_format_rows_pre(
+            *id_args,
+            pair_i[c0:c1].ctypes.data_as(p_i32),
+            pair_j[c0:c1].ctypes.data_as(p_i32),
+            vblob, voffs.ctypes.data_as(p_i64),
+            vidx[c0:c1].ctypes.data_as(p_i32),
+            c1 - c0, base + off, cap,
+        )
+        return w == cap
+
+    starts = list(range(0, n, _FORMAT_CHUNK_ROWS))
+    if len(starts) > 1:
+        oks = list(_format_pool().map(chunk, starts))
+    else:
+        oks = [chunk(0)]
+    assert all(oks), "keyed row assembly size mismatch"
+    return out
 
 
 class ReorderBuffer:

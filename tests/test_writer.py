@@ -86,3 +86,58 @@ def test_reorder_buffer():
     rb.add(1, "b")
     assert seen == ["a", "b", "c"]
     assert rb.outstanding == 0
+
+
+def test_keyed_memo_formatting_matches_plain():
+    """The sort-free memoized path (value keys from counters) emits the
+    exact bytes of the plain per-row formatter, f64 and i64."""
+    from distance_tpu.writer import _format_rows
+
+    rng = np.random.default_rng(9)
+    n = (1 << 16) + 1234
+    ids = [f"s{i}" for i in range(300)]
+    pi = rng.integers(0, 300, n).astype(np.int32)
+    pj = rng.integers(0, 300, n).astype(np.int32)
+    # f64 with specials (NaN, inf, -0.0) in the value table
+    diff = rng.integers(0, 50, n)
+    nons = rng.integers(0, 50, n)
+    keys = (diff << 8 | nons).astype(np.int32)
+    vals = np.where(
+        diff == 0, -0.0, np.where(diff == 1, np.nan, diff / (nons + 1.0))
+    )
+    vals = np.where(diff == 2, np.inf, vals)
+    # same key must give same value: recompute from key so it's a pure fn
+    table = {}
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        table.setdefault(k, v)
+    vals = np.array([table[k] for k in keys.tolist()], dtype=np.float64)
+    plain = _format_rows(ids, ids, pi, pj, vals)
+    keyed = _format_rows(ids, ids, pi, pj, vals, keys, 1 << 16)
+    assert plain == keyed
+    # i64
+    ivals = diff.astype(np.int64)
+    plain = _format_rows(ids, ids, pi, pj, ivals)
+    keyed = _format_rows(ids, ids, pi, pj, ivals, diff.astype(np.int32),
+                         1 << 16)
+    assert plain == keyed
+
+
+def test_engine_value_keys_determine_values():
+    from distance_tpu.engine import _value_keys
+
+    rng = np.random.default_rng(4)
+    W = 1000
+    diff = rng.integers(0, 255, 5000).astype(np.int32)
+    same = (W - diff - rng.integers(0, 200, 5000)).astype(np.int32)
+    keys, ks = _value_keys("jc69", {"diff": diff, "same": same}, W)
+    assert ks == 1 << 16 and keys.min() >= 0 and keys.max() < ks
+    # equal keys -> equal (diff, same)
+    order = np.argsort(keys, kind="stable")
+    k, d, s = keys[order], diff[order], same[order]
+    same_key = k[1:] == k[:-1]
+    assert np.all(d[1:][same_key] == d[:-1][same_key])
+    assert np.all(s[1:][same_key] == s[:-1][same_key])
+    # too-large counters -> no keys
+    big = diff + 300
+    keys, ks = _value_keys("jc69", {"diff": big, "same": same}, W)
+    assert keys is None
