@@ -1279,9 +1279,9 @@ def _run_stream(setup: Setup) -> None:
             flush_one()
 
     try:
-        for batch in stream_fasta(
+        for batch in _threaded_iter(stream_fasta(
             setup.streamed, width, setup.measure, setup.consensus, user_b
-        ):
+        )):
             group.append(batch)
             group_rows += batch.matrix.shape[0]
             if group_rows >= DEV_BATCH_ROWS:
@@ -1320,6 +1320,39 @@ def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
 
         return unpack_host(eng.measure, arr)
     return arr
+
+
+def _threaded_iter(it, maxsize: int = 64):
+    """Run an iterator in a background thread (bounded queue).
+
+    The reference's stream reader is its own thread (lib.rs:288-306); this
+    overlaps FASTA parse+encode with device dispatch and emission.  An
+    exception from the source is re-raised here only after every earlier
+    item has been consumed — preserving the mid-stream-error contract
+    (all fully-read batches are emitted first).
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=maxsize)
+    sentinel = object()
+
+    def run() -> None:
+        try:
+            for item in it:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(e)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _ceil(a: int, b: int) -> int:
