@@ -163,6 +163,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Some environments force-register a device platform via
+    # sitecustomize, overriding JAX_PLATFORMS; this knob restores an
+    # explicit choice (e.g. DISTANCE_TPU_JAX_PLATFORM=cpu).
+    plat = __import__("os").environ.get("DISTANCE_TPU_JAX_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     args = build_parser().parse_args(argv)
     if args.licenses:
         print(LICENCES)

@@ -908,6 +908,11 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         backend != "numpy"
         and source.size > HBM_BUDGET_BYTES
     ):
+        print(
+            f"[distance-tpu] out-of-core sweep: {source.size / 1e9:.2f} GB"
+            f" matrix > {HBM_BUDGET_BYTES / 1e9:.2f} GB HBM budget",
+            file=sys.stderr,
+        )
         _sweep_square_blocked(setup, aln, source, width, same_offset, backend)
         return
     ti, tj = _choose_tiles(n, n, setup, backend)
