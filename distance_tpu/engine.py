@@ -1008,6 +1008,9 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
     done = _resume_skip(setup)
     row_lo = strip_starts[a]
     row_hi = min(n, strip_starts[b - 1] + ti)
+    from distance_tpu.utils.timing import ProgressMeter
+
+    meter = ProgressMeter("sweep (out-of-core)", weights[a + done : b])
 
     for g0 in range(row_lo, row_hi, group_rows):
         g1 = min(g0 + group_rows, row_hi, n)
@@ -1084,6 +1087,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
                         same_offset)
             _progress_mark(setup, ordinal + 1)
+            meter.tick()
         dev_x = None
 
 
