@@ -78,8 +78,33 @@ def cpu_baseline_pairs_per_s(mat, width, budget_s=2.0):
     return per_core * 64.0
 
 
-def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
-    """Full upper-triangle counter sweep + finalize; returns (pairs/s, s)."""
+def probe_link():
+    """Relay health probe: H2D settle + warm D2H rate for a small buffer.
+
+    The device link in some harnesses degrades by orders of magnitude
+    for hours (first D2H after an upload stalls until the relay settles).
+    The bench sizes itself from this so a degraded link still yields a
+    measurement instead of a hang.
+    """
+    import jax.numpy as jnp
+
+    arr = np.random.randint(-128, 127, size=(4 << 20,), dtype=np.int8)
+    t0 = time.perf_counter()
+    dev = jnp.asarray(arr)
+    np.asarray(dev[:64])
+    settle = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(dev[: 2 << 20])
+    warm = 2.0 / max(1e-9, time.perf_counter() - t0)
+    return settle, warm
+
+
+def device_sweep_pairs_per_s(mat, measure, backend, ti, tj, max_block):
+    """Full upper-triangle counter sweep + finalize.
+
+    Returns (pairs/s, seconds, total_pairs, eng, dev); the uploaded
+    device matrix is reused by the device-only phase (uploads are
+    expensive on degraded links)."""
     import jax
     import jax.numpy as jnp
 
@@ -88,7 +113,7 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
 
     n, width = mat.shape
     eng = _BlockEngine(measure, backend, ti, tj, width)
-    dev = eng.prepare(mat, max(ti, tj))
+    dev = eng.prepare(mat, max_block)
     plan = eng.plan
 
     base_counts = None
@@ -147,23 +172,18 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj):
     t0 = time.perf_counter()
     _pipeline_strips(strips(), emit)
     dt = time.perf_counter() - t0
-    return total_pairs / dt, dt, total_pairs
+    return total_pairs / dt, dt, total_pairs, eng, dev
 
 
-def device_only_pairs_per_s(mat, measure, backend, ti, tj):
+def device_only_pairs_per_s(dev, shape, measure, backend, ti, tj):
     """Counter-sweep rate with results reduced on device (one scalar
     fetch at the end).  Measures chip throughput without the host link —
-    the relevant number for hardware where PCIe is not a bottleneck."""
+    the relevant number for hardware where PCIe is not a bottleneck.
+    ``dev`` is the already-uploaded (padded) matrix."""
     import jax
     import jax.numpy as jnp
 
-    from distance_tpu.engine import _BlockEngine, _jit_block_fn
-
-    n, width = mat.shape
-    eng = _BlockEngine(measure, backend, ti, tj, width)
-    dev = eng.prepare(mat, max(ti, tj))
-
-    import functools
+    n, width = shape
 
     from distance_tpu.ops.features import get_plan
 
@@ -199,9 +219,16 @@ def main():
     n = int(os.environ.get("BENCH_N", "8192"))
     width = int(os.environ.get("BENCH_L", "29904"))
     measure = os.environ.get("BENCH_MEASURE", "raw")
+    plat = os.environ.get("DISTANCE_TPU_JAX_PLATFORM")
+    if plat:
+        # sitecustomize may force-register a device platform over
+        # JAX_PLATFORMS; restore an explicit choice for hermetic runs
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     import jax
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() != "cpu"
     backend = os.environ.get("BENCH_BACKEND", "xla")
     ti = int(os.environ.get("BENCH_TILE_I", "1024" if on_tpu else "256"))
     tj = int(os.environ.get("BENCH_TILE_J", "4096" if on_tpu else "512"))
@@ -212,18 +239,31 @@ def main():
         ti = min(ti, 256)
         tj = min(tj, 512)
 
+    link = None
+    if on_tpu:
+        settle, warm = probe_link()
+        link = {"settle_4mb_s": round(settle, 1),
+                "warm_d2h_mb_s": round(warm, 1)}
+        if settle > float(os.environ.get("BENCH_MAX_SETTLE", 30)):
+            # degraded relay: a full-size upload would take hours —
+            # measure on a quarter-size matrix instead of hanging
+            n = min(n, 2048)
+            link["degraded"] = True
+        print(f"[bench] link probe: {link}", file=sys.stderr)
+
     mat = make_alignment(n, width)
     baseline = cpu_baseline_pairs_per_s(mat, width)
 
-    pairs_per_s, dt, total_pairs = device_sweep_pairs_per_s(
-        mat, measure, backend, ti, tj
-    )
     # Device-only sweeps favor the largest square blocks (features are
     # materialized once per block): ~2x the strip-shaped tiles.
-    dev_tile = int(os.environ.get("BENCH_DEV_TILE", "8192"))
-    dev_tile = min(dev_tile, n)
+    dev_tile = min(int(os.environ.get("BENCH_DEV_TILE", "8192")), n)
+    # padding from the sweep tiles already covers a [0, dev_tile) slice
+    # (dev_tile <= n <= n_pad), so one upload serves both phases
+    pairs_per_s, dt, total_pairs, eng, dev = device_sweep_pairs_per_s(
+        mat, measure, backend, ti, tj, max_block=max(ti, tj)
+    )
     dev_pairs_per_s, dev_dt = device_only_pairs_per_s(
-        mat, measure, backend, dev_tile, dev_tile
+        dev, mat.shape, measure, backend, dev_tile, dev_tile
     )
 
     result = {
@@ -252,6 +292,7 @@ def main():
             "implied_64core_cpu_baseline_pairs_per_s": round(baseline, 1)
             if baseline
             else None,
+            "link_probe": link,
         },
     }
     print(json.dumps(result))
