@@ -507,12 +507,16 @@ def _emit_pairs(
     pair_j: np.ndarray,
     counters: Dict[str, np.ndarray],
     same_offset: int = 0,
+    emitter=None,
+    after=None,
 ) -> None:
     """Finalize + write one flat batch of pairs (already in order).
 
     ``same_offset`` re-adds exact-base invariant columns dropped by
     column pruning (they contribute +1 to ``same``/``kk`` per pair and
-    nothing to any other counter).
+    nothing to any other counter).  With an ``emitter``, the formatting/
+    write tail (plus the ``after`` callback — progress checkpointing)
+    runs on the ordered writer thread, overlapped with the next strip.
     """
     if same_offset:
         for key in ("same", "kk"):
@@ -526,10 +530,19 @@ def _emit_pairs(
     with phase_timer("finalize"):
         values = finalize_block(setup.measure, counters, qc, tc)
     keys, keyspace = _value_keys(setup.measure, counters, aln1.width)
-    with phase_timer("write"):
-        setup.writer.rows(
-            aln1.ids, aln2.ids, pair_i, pair_j, values, keys, keyspace
-        )
+
+    def tail() -> None:
+        with phase_timer("write"):
+            setup.writer.rows(
+                aln1.ids, aln2.ids, pair_i, pair_j, values, keys, keyspace
+            )
+        if after is not None:
+            after()
+
+    if emitter is None:
+        tail()
+    else:
+        emitter.submit(tail)
 
 
 def _value_keys(measure: str, counters: Dict[str, np.ndarray], width: int):
@@ -859,6 +872,53 @@ def _pipeline_strips(strip_iter, emit_fn):
         emit_fn(pending.pop(0))
 
 
+class _AsyncEmitter:
+    """Ordered single-thread executor for the format+write tail.
+
+    The reference dedicates a thread to its ordered writer
+    (lib.rs:377-385); here the expensive emission tail (row formatting,
+    file write, progress checkpoint) runs on one background thread in
+    submission order, overlapping the next strip's fetch/unpack/finalize
+    on the main thread.  Exceptions re-raise on the submitting side.
+    """
+
+    def __init__(self, depth: int = 2):
+        import queue as _queue
+        import threading
+
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._done = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                self._done.set()
+                return
+            if self._err is None:
+                try:
+                    fn()
+                except BaseException as e:
+                    self._err = e
+
+    def submit(self, fn) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put(fn)
+
+    def finish(self) -> None:
+        self._q.put(None)
+        self._done.wait()
+        self._thread.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
 # Device-memory budget for resident sequence data; beyond it the blocked
 # out-of-core sweep stages super-rows through HBM.
 HBM_BUDGET_BYTES = int(
@@ -930,6 +990,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     from distance_tpu.utils.timing import ProgressMeter
 
     meter = ProgressMeter("sweep", weights[a + done : b])
+    emitter = _AsyncEmitter()
 
     def strips():
         for ordinal, i0 in enumerate(strip_starts[a:b]):
@@ -958,12 +1019,16 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
             name: gathered[k] for k, name in enumerate(plan.counters)
         }
         pair_i = local_rows.astype(np.int64) + i0
-        _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
-                    same_offset)
-        _progress_mark(setup, ordinal + 1)
-        meter.tick()
+        _emit_pairs(
+            setup, aln, aln, pair_i, col_idx, counters, same_offset,
+            emitter=emitter,
+            after=lambda ordinal=ordinal: (
+                _progress_mark(setup, ordinal + 1), meter.tick()
+            ),
+        )
 
     _pipeline_strips(strips(), emit)
+    emitter.finish()
 
 
 # Host RAM allowed for one emission group's counter buffer (out-of-core).
@@ -1011,6 +1076,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
     from distance_tpu.utils.timing import ProgressMeter
 
     meter = ProgressMeter("sweep (out-of-core)", weights[a + done : b])
+    emitter = _AsyncEmitter()
 
     for g0 in range(row_lo, row_hi, group_rows):
         g1 = min(g0 + group_rows, row_hi, n)
@@ -1084,11 +1150,15 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                 name: gathered[k] for k, name in enumerate(plan.counters)
             }
             pair_i = (local_rows + i0_loc).astype(np.int64) + g0
-            _emit_pairs(setup, aln, aln, pair_i, col_idx, counters,
-                        same_offset)
-            _progress_mark(setup, ordinal + 1)
-            meter.tick()
+            _emit_pairs(
+                setup, aln, aln, pair_i, col_idx, counters, same_offset,
+                emitter=emitter,
+                after=lambda ordinal=ordinal: (
+                    _progress_mark(setup, ordinal + 1), meter.tick()
+                ),
+            )
         dev_x = None
+    emitter.finish()
 
 
 def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
@@ -1113,6 +1183,7 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     weights = [min(ti, n1 - i0) * n2 for i0 in strip_starts]
     a, b = _split_strips(weights, setup.shard)
     done = _resume_skip(setup)
+    emitter = _AsyncEmitter()
 
     def strips():
         for ordinal, i0 in enumerate(strip_starts[a:b]):
@@ -1139,11 +1210,16 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
             for k, name in enumerate(plan.counters)
         }
         pair_i = local_rows + i0
-        _emit_pairs(setup, aln1, aln2, pair_i, col_idx, counters,
-                    same_offset)
-        _progress_mark(setup, ordinal + 1)
+        _emit_pairs(
+            setup, aln1, aln2, pair_i, col_idx, counters, same_offset,
+            emitter=emitter,
+            after=lambda ordinal=ordinal: _progress_mark(
+                setup, ordinal + 1
+            ),
+        )
 
     _pipeline_strips(strips(), emit)
+    emitter.finish()
 
 
 # ---------------------------------------------------------------------------
@@ -1195,6 +1271,7 @@ def _run_stream(setup: Setup) -> None:
     plan = eng.plan
 
     pending: List[tuple] = []
+    emitter = _AsyncEmitter()
 
     def flush_one() -> None:
         g_ord, local_ord, ids2, bcounts, handle, bn, redispatch = (
@@ -1217,15 +1294,21 @@ def _run_stream(setup: Setup) -> None:
             qc = tc = None
         values = finalize_block(setup.measure, counters, qc, tc)
         keys, keyspace = _value_keys(setup.measure, counters, width)
-        if unit_index is not None:
-            pos0 = setup.writer.tell()
-        setup.writer.rows(
-            aln.ids, ids2, row_idx, local_cols, values, keys, keyspace
-        )
-        if unit_index is not None:
-            unit_index.append(g_ord, setup.writer.tell() - pos0)
-            unit_index.save()
-        _progress_mark(setup, local_ord + 1)
+
+        def tail(ids2=ids2, row_idx=row_idx, local_cols=local_cols,
+                 values=values, keys=keys, keyspace=keyspace,
+                 g_ord=g_ord, local_ord=local_ord):
+            if unit_index is not None:
+                pos0 = setup.writer.tell()
+            setup.writer.rows(
+                aln.ids, ids2, row_idx, local_cols, values, keys, keyspace
+            )
+            if unit_index is not None:
+                unit_index.append(g_ord, setup.writer.tell() - pos0)
+                unit_index.save()
+            _progress_mark(setup, local_ord + 1)
+
+        emitter.submit(tail)
 
     group: List[object] = []
     group_rows = 0
@@ -1300,10 +1383,15 @@ def _run_stream(setup: Setup) -> None:
         dispatch_group()
         while pending:
             flush_one()
+        try:
+            emitter.finish()
+        except Exception:
+            pass  # the stream error is the one to report
         raise
     dispatch_group()
     while pending:
         flush_one()
+    emitter.finish()
 
 
 def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
