@@ -509,6 +509,8 @@ def _emit_pairs(
     same_offset: int = 0,
     emitter=None,
     after=None,
+    qc=None,
+    tc=None,
 ) -> None:
     """Finalize + write one flat batch of pairs (already in order).
 
@@ -517,14 +519,17 @@ def _emit_pairs(
     nothing to any other counter).  With an ``emitter``, the formatting/
     write tail (plus the ``after`` callback — progress checkpointing)
     runs on the ordered writer thread, overlapped with the next strip.
+    ``qc``/``tc`` let callers supply structure-aware tn93 base-count
+    rows (repeat/slice built) instead of the per-pair gather fallback.
     """
     if same_offset:
         for key in ("same", "kk"):
             if key in counters:
                 counters[key] = counters[key] + same_offset
     if setup.measure == "tn93":
-        qc = aln1.base_counts[pair_i]
-        tc = aln2.base_counts[pair_j]
+        if qc is None:
+            qc = aln1.base_counts[pair_i]
+            tc = aln2.base_counts[pair_j]
     else:
         qc = tc = None
     with phase_timer("finalize"):
@@ -605,6 +610,23 @@ def _tri_indices(si: int, i0: int, n: int):
         (starts - first_col).astype(np.int32), counts
     )
     return local_rows, col_idx
+
+
+def _tri_base_counts(bc: np.ndarray, si: int, i0: int, n: int):
+    """(qc, tc) per-pair base-count rows for one square-mode strip.
+
+    Exploits the triangle structure — query rows repeat contiguously and
+    target rows are contiguous slices — instead of per-pair random
+    gathers (which cost ~0.4 us/pair on common hosts).
+    """
+    counts = np.maximum(n - (i0 + np.arange(si)) - 1, 0)
+    qc = np.repeat(bc[i0 : i0 + si], counts, axis=0)
+    parts = [bc[i0 + li + 1 : n] for li in range(si)]
+    tc = (
+        np.concatenate(parts) if len(parts) > 1
+        else parts[0] if parts else bc[:0]
+    )
+    return qc, tc
 
 
 def _gather_strip_triangle(strip: np.ndarray, si: int, i0: int, n: int,
@@ -1019,12 +1041,16 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
             name: gathered[k] for k, name in enumerate(plan.counters)
         }
         pair_i = local_rows.astype(np.int64) + i0
+        qc = tc = None
+        if setup.measure == "tn93":
+            qc, tc = _tri_base_counts(aln.base_counts, si, i0, n)
         _emit_pairs(
             setup, aln, aln, pair_i, col_idx, counters, same_offset,
             emitter=emitter,
             after=lambda ordinal=ordinal: (
                 _progress_mark(setup, ordinal + 1), meter.tick()
             ),
+            qc=qc, tc=tc,
         )
 
     _pipeline_strips(strips(), emit)
@@ -1150,12 +1176,16 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                 name: gathered[k] for k, name in enumerate(plan.counters)
             }
             pair_i = (local_rows + i0_loc).astype(np.int64) + g0
+            qc = tc = None
+            if setup.measure == "tn93":
+                qc, tc = _tri_base_counts(aln.base_counts, si, abs_i0, n)
             _emit_pairs(
                 setup, aln, aln, pair_i, col_idx, counters, same_offset,
                 emitter=emitter,
                 after=lambda ordinal=ordinal: (
                     _progress_mark(setup, ordinal + 1), meter.tick()
                 ),
+                qc=qc, tc=tc,
             )
         dev_x = None
     emitter.finish()
@@ -1210,12 +1240,17 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
             for k, name in enumerate(plan.counters)
         }
         pair_i = local_rows + i0
+        qc = tc = None
+        if setup.measure == "tn93":
+            qc = np.repeat(aln1.base_counts[i0 : i0 + si], n2, axis=0)
+            tc = np.tile(aln2.base_counts[:n2], (si, 1))
         _emit_pairs(
             setup, aln1, aln2, pair_i, col_idx, counters, same_offset,
             emitter=emitter,
             after=lambda ordinal=ordinal: _progress_mark(
                 setup, ordinal + 1
             ),
+            qc=qc, tc=tc,
         )
 
     _pipeline_strips(strips(), emit)
@@ -1288,8 +1323,10 @@ def _run_stream(setup: Setup) -> None:
             for k, name in enumerate(plan.counters)
         }
         if setup.measure == "tn93":
-            qc = aln.base_counts[row_idx]
-            tc = bcounts[local_cols]
+            # row_idx tiles the loaded side, local_cols repeats the
+            # streamed side — both structure-aware, no random gathers
+            qc = np.tile(aln.base_counts[:n1], (bn, 1))
+            tc = np.repeat(bcounts[:bn], n1, axis=0)
         else:
             qc = tc = None
         values = finalize_block(setup.measure, counters, qc, tc)
