@@ -141,3 +141,30 @@ def test_engine_value_keys_determine_values():
     big = diff + 300
     keys, ks = _value_keys("jc69", {"diff": big, "same": same}, W)
     assert keys is None
+
+
+def test_async_emitter_orders_and_propagates():
+    from distance_tpu.engine import _AsyncEmitter
+
+    out = []
+    em = _AsyncEmitter()
+    import time as _t
+
+    for k in range(16):
+        em.submit(lambda k=k: (_t.sleep(0.001 * (16 - k)), out.append(k)))
+    em.finish()
+    assert out == list(range(16))
+
+    # an exception re-raises on the submitting side; later closures skip
+    em = _AsyncEmitter()
+    ran = []
+    em.submit(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        em.finish()
+    # a fresh emitter still works after an error
+    em = _AsyncEmitter()
+    em.submit(lambda: ran.append(1))
+    em.finish()
+    assert ran == [1]
