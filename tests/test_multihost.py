@@ -263,3 +263,23 @@ def test_unit_index_roundtrip(tmp_path):
     assert ix2.units == [[0, 100]]
     ix2.clear()
     assert not os.path.exists(ix.sidecar)
+
+
+def test_launch_xla_virtual_mesh(tmp_path, fastas):
+    """--launch workers running the xla backend over a virtual device
+    mesh: process fan-out and GSPMD sharding compose byte-identically."""
+    f1, _ = fastas
+    a, _b = write_inputs(tmp_path, fastas)
+    o = tmp_path / "out.tsv"
+    env = dict(
+        os.environ,
+        DISTANCE_TPU_JAX_PLATFORM="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "distance_tpu.cli", str(a), "-m", "jc69",
+         "--backend", "xla", "--launch", "2", "-o", str(o)],
+        capture_output=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert o.read_bytes() == expected_square("jc69", f1)
