@@ -262,6 +262,15 @@ def main():
     pairs_per_s, dt, total_pairs, eng, dev = device_sweep_pairs_per_s(
         mat, measure, backend, ti, tj, max_block=max(ti, tj)
     )
+    # bytes-on-wire accounting: is end-to-end link-bound?
+    bytes_per_pair = {"n": 1, "n_high": 1, "raw": 2, "jc69": 2,
+                      "k80": 3, "tn93": 4}.get(measure, 4)
+    wire_mb = total_pairs * bytes_per_pair / 1e6
+    wire_util = None
+    if link and link.get("warm_d2h_mb_s"):
+        wire_util = round(
+            (wire_mb / link["warm_d2h_mb_s"]) / dt, 3
+        )
     dev_pairs_per_s, dev_dt = device_only_pairs_per_s(
         dev, mat.shape, measure, backend, dev_tile, dev_tile
     )
@@ -285,10 +294,13 @@ def main():
             "end_to_end_seconds": round(dt, 3),
             "end_to_end_note": (
                 "full pipeline incl. device->host counter transfer and"
-                " exact f64 finalization; on this harness the device link"
-                " is a ~15 MB/s relay (vs >=16 GB/s PCIe in production),"
-                " so end-to-end is link-bound, not chip-bound"
+                " exact f64 finalization; on this harness the device"
+                " link is a slow relay (3-40 MB/s by window, vs >=16"
+                " GB/s PCIe in production), so end-to-end is link-bound"
+                " — see wire_utilization_vs_probe"
             ),
+            "wire_mb": round(wire_mb, 1),
+            "wire_utilization_vs_probe": wire_util,
             "implied_64core_cpu_baseline_pairs_per_s": round(baseline, 1)
             if baseline
             else None,
