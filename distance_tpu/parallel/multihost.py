@@ -238,6 +238,12 @@ def launch(args) -> int:
                 p.terminate()
         for p in procs:
             p.wait()
+        if args.output is not None:
+            out.close()
+            try:  # no partial merged output on failure
+                os.remove(args.output)
+            except OSError:
+                pass
         raise DistanceError(
             f"--launch worker shard(s) {sorted(failed)} failed"
         )

@@ -283,3 +283,12 @@ def test_launch_xla_virtual_mesh(tmp_path, fastas):
     )
     assert r.returncode == 0, r.stderr
     assert o.read_bytes() == expected_square("jc69", f1)
+
+
+def test_worker_failure_removes_partial_output(tmp_path):
+    a = tmp_path / "bad.fasta"
+    a.write_bytes(b">x\nACGT\n>y\nACG!\n")
+    o = tmp_path / "o.tsv"
+    r = cli([str(a), "--backend", "numpy", "--launch", "2", "-o", str(o)])
+    assert r.returncode == 1
+    assert not o.exists()
