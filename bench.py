@@ -122,7 +122,7 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj, max_block):
 
         base_counts = np.stack(
             [(mat == v).sum(axis=1) for v in (A, T, G, C)], axis=1
-        ).astype(np.int64)
+        ).astype(np.int32)
 
     from distance_tpu.engine import (
         _AsyncFetch,
@@ -163,7 +163,8 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj, max_block):
         if base_counts is not None:
             finalize_block(
                 measure, counters,
-                base_counts[local_rows + i0], base_counts[col_idx],
+                (base_counts, local_rows + np.int32(i0),
+                 base_counts, col_idx),
             )
         else:
             finalize_block(measure, counters)

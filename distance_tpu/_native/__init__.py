@@ -26,24 +26,34 @@ _tried = False
 
 def _build() -> bool:
     cc = os.environ.get("CC", "cc")
+    # Link to a temp path, then atomically rename over the cached .so:
+    # a process that already dlopened the old library keeps its mapping
+    # (same-path relink would truncate the mapped inode under it).
+    tmp = _SO + f".build.{os.getpid()}"
     # -ffp-contract=off: Rust never contracts mul+add into FMA; allowing
     # contraction changes f64 results (e.g. jc69 at p=0.75) and breaks
     # bit-for-bit parity.
     cmd = [
         cc, "-O3", "-march=native", "-ffp-contract=off",
-        "-shared", "-fPIC", _SRC, "-o", _SO, "-lm",
+        "-shared", "-fPIC", _SRC, "-o", tmp, "-lm",
     ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return True
-    except (OSError, subprocess.CalledProcessError):
-        # retry without -march=native for odd toolchains
         try:
-            cmd.remove("-march=native")
             subprocess.run(cmd, check=True, capture_output=True)
-            return True
-        except (OSError, subprocess.CalledProcessError, ValueError):
-            return False
+        except (OSError, subprocess.CalledProcessError):
+            # retry without -march=native for odd toolchains
+            try:
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True)
+            except (OSError, subprocess.CalledProcessError, ValueError):
+                return False
+        os.replace(tmp, _SO)
+        return True
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -56,8 +66,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_finalize_raw.argtypes = [p_i32, p_i32, p_d, i64]
     lib.dt_finalize_jc69.argtypes = [p_i32, p_i32, p_d, i64]
     lib.dt_finalize_k80.argtypes = [p_i32, p_i32, p_i32, p_d, i64]
-    lib.dt_finalize_tn93.argtypes = [
-        p_i32, p_i32, p_i32, p_i32, p_i64, p_i64, p_d, i64,
+    lib.dt_finalize_tn93_gather.argtypes = [
+        p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_d, i64,
     ]
     lib.dt_format_rows_f64.argtypes = [
         p_c, p_i64, p_c, p_i64, p_i32, p_i32, p_d, i64,

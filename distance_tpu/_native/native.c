@@ -55,47 +55,63 @@ void dt_finalize_k80(const int32_t *same, const int32_t *ts,
     }
 }
 
-/* tn93, measures.rs:116-193.  Inputs per pair: counters same/kk/p1/p2 and
- * the two records' (A,T,G,C) tallies.  kk == count_L; count_d = kk - same. */
-void dt_finalize_tn93(const int32_t *same, const int32_t *kk,
-                      const int32_t *p1c, const int32_t *p2c,
-                      const int64_t *qc, /* (n,4) A,T,G,C query side */
-                      const int64_t *tc, /* (n,4) A,T,G,C target side */
-                      double *out, int64_t n) {
+/* tn93 closed form for one pair, measures.rs:116-193.  Counter inputs:
+ * same/kk/p1/p2; q/t are the two records' (A,T,G,C) tallies.
+ * kk == count_L; count_d = kk - same. */
+static inline double tn93_one(int32_t same, int32_t kk, int32_t p1c,
+                              int32_t p2c, const int32_t *q,
+                              const int32_t *t) {
+    double qa = (double)q[0], qt = (double)q[1];
+    double qg = (double)q[2], qcc = (double)q[3];
+    double ta = (double)t[0], tt = (double)t[1];
+    double tg = (double)t[2], tcc = (double)t[3];
+    double L = qa + qt + qg + qcc + ta + tt + tg + tcc;
+
+    double g_A = (ta + qa) / L;
+    double g_C = (tcc + qcc) / L;
+    double g_G = (tg + qg) / L;
+    double g_T = (tt + qt) / L;
+    double g_R = (ta + qa + tg + qg) / L;
+    double g_Y = (tcc + qcc + tt + qt) / L;
+
+    double k1 = 2.0 * g_A * g_G / g_R;
+    double k2 = 2.0 * g_T * g_C / g_Y;
+    double k3 = 2.0 * (g_R * g_Y - g_A * g_G * g_Y / g_R -
+                       g_T * g_C * g_R / g_Y);
+
+    double count_L = (double)kk;
+    int32_t count_d = kk - same;
+    double P1 = (double)p1c / count_L;
+    double P2 = (double)p2c / count_L;
+    double Q = (double)(count_d - (p1c + p2c)) / count_L;
+
+    double w1 = 1.0 - P1 / k1 - Q / (2.0 * g_R);
+    double w2 = 1.0 - P2 / k2 - Q / (2.0 * g_Y);
+    double w3 = 1.0 - Q / (2.0 * g_R * g_Y);
+
+    double d = -k1 * log(w1) - k2 * log(w2) - k3 * log(w3);
+    if (d == 0.0) {
+        d = 0.0; /* normalize -0.0, measures.rs:188-190 */
+    }
+    return d;
+}
+
+/* tn93 over a flat block of pairs, gathering each pair's two (A,T,G,C)
+ * tally rows from the per-sequence tables by index.  The gather here (8
+ * int32 loads/pair) replaces materialized per-pair tally arrays on the
+ * host (64 B/pair of repeat/tile traffic) — the index arrays already
+ * exist for id emission, so the tally plumbing is free. */
+void dt_finalize_tn93_gather(const int32_t *same, const int32_t *kk,
+                             const int32_t *p1c, const int32_t *p2c,
+                             const int32_t *bcq, /* (nq,4) A,T,G,C */
+                             const int32_t *iq,  /* (n,) query row index */
+                             const int32_t *bct, /* (nt,4) A,T,G,C */
+                             const int32_t *it,  /* (n,) target row index */
+                             double *out, int64_t n) {
     for (int64_t i = 0; i < n; i++) {
-        double qa = (double)qc[i * 4 + 0], qt = (double)qc[i * 4 + 1];
-        double qg = (double)qc[i * 4 + 2], qcc = (double)qc[i * 4 + 3];
-        double ta = (double)tc[i * 4 + 0], tt = (double)tc[i * 4 + 1];
-        double tg = (double)tc[i * 4 + 2], tcc = (double)tc[i * 4 + 3];
-        double L = qa + qt + qg + qcc + ta + tt + tg + tcc;
-
-        double g_A = (ta + qa) / L;
-        double g_C = (tcc + qcc) / L;
-        double g_G = (tg + qg) / L;
-        double g_T = (tt + qt) / L;
-        double g_R = (ta + qa + tg + qg) / L;
-        double g_Y = (tcc + qcc + tt + qt) / L;
-
-        double k1 = 2.0 * g_A * g_G / g_R;
-        double k2 = 2.0 * g_T * g_C / g_Y;
-        double k3 = 2.0 * (g_R * g_Y - g_A * g_G * g_Y / g_R -
-                           g_T * g_C * g_R / g_Y);
-
-        double count_L = (double)kk[i];
-        int32_t count_d = kk[i] - same[i];
-        double P1 = (double)p1c[i] / count_L;
-        double P2 = (double)p2c[i] / count_L;
-        double Q = (double)(count_d - (p1c[i] + p2c[i])) / count_L;
-
-        double w1 = 1.0 - P1 / k1 - Q / (2.0 * g_R);
-        double w2 = 1.0 - P2 / k2 - Q / (2.0 * g_Y);
-        double w3 = 1.0 - Q / (2.0 * g_R * g_Y);
-
-        double d = -k1 * log(w1) - k2 * log(w2) - k3 * log(w3);
-        if (d == 0.0) {
-            d = 0.0; /* normalize -0.0, measures.rs:188-190 */
-        }
-        out[i] = d;
+        out[i] = tn93_one(same[i], kk[i], p1c[i], p2c[i],
+                          bcq + 4 * (int64_t)iq[i],
+                          bct + 4 * (int64_t)it[i]);
     }
 }
 

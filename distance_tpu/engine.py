@@ -257,7 +257,7 @@ def _count_bases_device(matrix: np.ndarray) -> np.ndarray:
     outs = []
     for r0 in range(0, matrix.shape[0], rows_per):
         dev = jnp.asarray(np.ascontiguousarray(matrix[r0 : r0 + rows_per]))
-        outs.append(np.asarray(base_counts_device(dev)).astype(np.int64))
+        outs.append(np.asarray(base_counts_device(dev)).astype(np.int32))
     return np.concatenate(outs)
 
 
@@ -509,8 +509,6 @@ def _emit_pairs(
     same_offset: int = 0,
     emitter=None,
     after=None,
-    qc=None,
-    tc=None,
 ) -> None:
     """Finalize + write one flat batch of pairs (already in order).
 
@@ -519,21 +517,19 @@ def _emit_pairs(
     nothing to any other counter).  With an ``emitter``, the formatting/
     write tail (plus the ``after`` callback — progress checkpointing)
     runs on the ordered writer thread, overlapped with the next strip.
-    ``qc``/``tc`` let callers supply structure-aware tn93 base-count
-    rows (repeat/slice built) instead of the per-pair gather fallback.
+    tn93's per-pair base tallies are never materialized: the native
+    finalizer gathers rows from the per-sequence tables using the same
+    index arrays that drive id emission.
     """
     if same_offset:
         for key in ("same", "kk"):
             if key in counters:
                 counters[key] = counters[key] + same_offset
+    bc = None
     if setup.measure == "tn93":
-        if qc is None:
-            qc = aln1.base_counts[pair_i]
-            tc = aln2.base_counts[pair_j]
-    else:
-        qc = tc = None
+        bc = (aln1.base_counts, pair_i, aln2.base_counts, pair_j)
     with phase_timer("finalize"):
-        values = finalize_block(setup.measure, counters, qc, tc)
+        values = finalize_block(setup.measure, counters, bc)
     keys, keyspace = _value_keys(setup.measure, counters, aln1.width)
 
     def tail() -> None:
@@ -610,23 +606,6 @@ def _tri_indices(si: int, i0: int, n: int):
         (starts - first_col).astype(np.int32), counts
     )
     return local_rows, col_idx
-
-
-def _tri_base_counts(bc: np.ndarray, si: int, i0: int, n: int):
-    """(qc, tc) per-pair base-count rows for one square-mode strip.
-
-    Exploits the triangle structure — query rows repeat contiguously and
-    target rows are contiguous slices — instead of per-pair random
-    gathers (which cost ~0.4 us/pair on common hosts).
-    """
-    counts = np.maximum(n - (i0 + np.arange(si)) - 1, 0)
-    qc = np.repeat(bc[i0 : i0 + si], counts, axis=0)
-    parts = [bc[i0 + li + 1 : n] for li in range(si)]
-    tc = (
-        np.concatenate(parts) if len(parts) > 1
-        else parts[0] if parts else bc[:0]
-    )
-    return qc, tc
 
 
 def _gather_strip_triangle(strip: np.ndarray, si: int, i0: int, n: int,
@@ -1040,17 +1019,13 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         counters = {
             name: gathered[k] for k, name in enumerate(plan.counters)
         }
-        pair_i = local_rows.astype(np.int64) + i0
-        qc = tc = None
-        if setup.measure == "tn93":
-            qc, tc = _tri_base_counts(aln.base_counts, si, i0, n)
+        pair_i = local_rows + np.int32(i0)
         _emit_pairs(
             setup, aln, aln, pair_i, col_idx, counters, same_offset,
             emitter=emitter,
             after=lambda ordinal=ordinal: (
                 _progress_mark(setup, ordinal + 1), meter.tick()
             ),
-            qc=qc, tc=tc,
         )
 
     _pipeline_strips(strips(), emit)
@@ -1175,17 +1150,13 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             counters = {
                 name: gathered[k] for k, name in enumerate(plan.counters)
             }
-            pair_i = (local_rows + i0_loc).astype(np.int64) + g0
-            qc = tc = None
-            if setup.measure == "tn93":
-                qc, tc = _tri_base_counts(aln.base_counts, si, abs_i0, n)
+            pair_i = local_rows + np.int32(i0_loc + g0)
             _emit_pairs(
                 setup, aln, aln, pair_i, col_idx, counters, same_offset,
                 emitter=emitter,
                 after=lambda ordinal=ordinal: (
                     _progress_mark(setup, ordinal + 1), meter.tick()
                 ),
-                qc=qc, tc=tc,
             )
         dev_x = None
     emitter.finish()
@@ -1239,18 +1210,13 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
             name: np.ascontiguousarray(strip[k, :si, :n2]).reshape(-1)
             for k, name in enumerate(plan.counters)
         }
-        pair_i = local_rows + i0
-        qc = tc = None
-        if setup.measure == "tn93":
-            qc = np.repeat(aln1.base_counts[i0 : i0 + si], n2, axis=0)
-            tc = np.tile(aln2.base_counts[:n2], (si, 1))
+        pair_i = local_rows + np.int32(i0)
         _emit_pairs(
             setup, aln1, aln2, pair_i, col_idx, counters, same_offset,
             emitter=emitter,
             after=lambda ordinal=ordinal: _progress_mark(
                 setup, ordinal + 1
             ),
-            qc=qc, tc=tc,
         )
 
     _pipeline_strips(strips(), emit)
@@ -1322,14 +1288,11 @@ def _run_stream(setup: Setup) -> None:
             name: np.ascontiguousarray(strip[k, :n1, :bn].T).reshape(-1)
             for k, name in enumerate(plan.counters)
         }
+        bc = None
         if setup.measure == "tn93":
-            # row_idx tiles the loaded side, local_cols repeats the
-            # streamed side — both structure-aware, no random gathers
-            qc = np.tile(aln.base_counts[:n1], (bn, 1))
-            tc = np.repeat(bcounts[:bn], n1, axis=0)
-        else:
-            qc = tc = None
-        values = finalize_block(setup.measure, counters, qc, tc)
+            # loaded side indexed by row_idx, streamed side by local_cols
+            bc = (aln.base_counts, row_idx, bcounts, local_cols)
+        values = finalize_block(setup.measure, counters, bc)
         keys, keyspace = _value_keys(setup.measure, counters, width)
 
         def tail(ids2=ids2, row_idx=row_idx, local_cols=local_cols,

@@ -122,7 +122,7 @@ class Alignment:
     ids: List[str]
     descriptions: List[str]
     matrix: np.ndarray  # (n_seqs, L) uint8
-    base_counts: Optional[np.ndarray] = None  # (n_seqs, 4) int64: A,T,G,C
+    base_counts: Optional[np.ndarray] = None  # (n_seqs, 4) int32: A,T,G,C
 
     @property
     def n(self) -> int:
@@ -145,7 +145,7 @@ class Alignment:
                 (m == C).sum(axis=1),
             ],
             axis=1,
-        ).astype(np.int64)
+        ).astype(np.int32)
         return self.base_counts
 
 
@@ -311,7 +311,7 @@ class StreamBatch:
 
     ids: List[str]
     matrix: np.ndarray  # (batch, L) uint8
-    base_counts: Optional[np.ndarray]  # (batch, 4) int64 A,T,G,C or None
+    base_counts: Optional[np.ndarray]  # (batch, 4) int32 A,T,G,C or None
     idx: int
 
 
@@ -350,7 +350,7 @@ def stream_fasta(
         return StreamBatch(
             ids=list(ids),
             matrix=np.vstack(rows) if rows else np.zeros((0, width), np.uint8),
-            base_counts=np.vstack(counts).astype(np.int64) if counts else None,
+            base_counts=np.vstack(counts).astype(np.int32) if counts else None,
             idx=i,
         )
 

@@ -9,7 +9,7 @@ Both are bit-for-bit identical to the Rust binary's arithmetic.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -18,19 +18,26 @@ from distance_tpu._native import get_lib
 
 INT_MEASURES = ("n", "n_high")
 
+# tn93's extra per-pair inputs: the two sequences' (A,T,G,C) tallies,
+# supplied as per-sequence tables + per-pair row indices.  The native
+# finalizer gathers the rows itself (8 int32 loads/pair) — the engine
+# never materializes per-pair tally arrays.
+BasePairRef = Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
 
 def finalize_block(
     measure: str,
     counters: Dict[str, np.ndarray],
-    q_counts: Optional[np.ndarray] = None,
-    t_counts: Optional[np.ndarray] = None,
+    bc: Optional[BasePairRef] = None,
 ) -> np.ndarray:
     """Finalize a flat block of pairs.
 
     Args:
       measure: one of the six measure names.
       counters: counter name -> (n_pairs,) int32 array.
-      q_counts/t_counts: (n_pairs, 4) int64 (A,T,G,C) tallies, tn93 only.
+      bc: tn93 only — (bc_q, iq, bc_t, it): (nq, 4) / (nt, 4) int32
+        A,T,G,C tables for the two sides and (n_pairs,) int32 row
+        indices into them.
 
     Returns:
       (n_pairs,) int64 for integer measures, float64 otherwise.
@@ -40,16 +47,22 @@ def finalize_block(
 
     n = next(iter(counters.values())).shape[0]
     out = np.empty(n, dtype=np.float64)
+    if bc is not None:
+        bcq, iq, bct, it = bc
+        bc = (
+            np.ascontiguousarray(bcq, dtype=np.int32),
+            np.ascontiguousarray(iq, dtype=np.int32),
+            np.ascontiguousarray(bct, dtype=np.int32),
+            np.ascontiguousarray(it, dtype=np.int32),
+        )
     lib = get_lib()
     if lib is not None:
         if n >= 2 * _PAR_CHUNK:
-            _finalize_native_parallel(
-                lib, measure, counters, q_counts, t_counts, out
-            )
+            _finalize_native_parallel(lib, measure, counters, bc, out)
         else:
-            _finalize_native(lib, measure, counters, q_counts, t_counts, out)
+            _finalize_native(lib, measure, counters, bc, out)
     else:
-        _finalize_python(measure, counters, q_counts, t_counts, out)
+        _finalize_python(measure, counters, bc, out)
     return out
 
 
@@ -70,20 +83,17 @@ def _get_pool():
     return _pool
 
 
-def _finalize_native_parallel(lib, measure, counters, q_counts, t_counts,
-                              out):
+def _finalize_native_parallel(lib, measure, counters, bc, out):
     n = out.shape[0]
     counters = {k: _as_i32(v) for k, v in counters.items()}
-    if q_counts is not None:
-        q_counts = np.ascontiguousarray(q_counts, dtype=np.int64)
-        t_counts = np.ascontiguousarray(t_counts, dtype=np.int64)
     pool = _get_pool()
 
     def run(a, b):
         sub = {k: v[a:b] for k, v in counters.items()}
-        qc = q_counts[a:b] if q_counts is not None else None
-        tc = t_counts[a:b] if t_counts is not None else None
-        _finalize_native(lib, measure, sub, qc, tc, out[a:b])
+        # the (nq, 4) tables are shared read-only; only the per-pair
+        # index slices split across threads
+        sub_bc = (bc[0], bc[1][a:b], bc[2], bc[3][a:b]) if bc else None
+        _finalize_native(lib, measure, sub, sub_bc, out[a:b])
 
     futures = [
         pool.submit(run, a, min(a + _PAR_CHUNK, n))
@@ -97,7 +107,7 @@ def _as_i32(a: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(a, dtype=np.int32)
 
 
-def _finalize_native(lib, measure, counters, q_counts, t_counts, out):
+def _finalize_native(lib, measure, counters, bc, out):
     import ctypes
 
     n = out.shape[0]
@@ -115,19 +125,19 @@ def _finalize_native(lib, measure, counters, q_counts, t_counts, out):
     elif measure == "k80":
         lib.dt_finalize_k80(p32("same"), p32("ts"), p32("tv"), p_d, n)
     elif measure == "tn93":
-        qc = np.ascontiguousarray(q_counts, dtype=np.int64)
-        tc = np.ascontiguousarray(t_counts, dtype=np.int64)
-        lib.dt_finalize_tn93(
+        bcq, iq, bct, it = bc
+        pp = ctypes.POINTER(ctypes.c_int32)
+        lib.dt_finalize_tn93_gather(
             p32("same"), p32("kk"), p32("p1"), p32("p2"),
-            qc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            tc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bcq.ctypes.data_as(pp), _as_i32(iq).ctypes.data_as(pp),
+            bct.ctypes.data_as(pp), _as_i32(it).ctypes.data_as(pp),
             p_d, n,
         )
     else:
         raise ValueError(f"unknown measure {measure!r}")
 
 
-def _finalize_python(measure, counters, q_counts, t_counts, out):
+def _finalize_python(measure, counters, bc, out):
     n = out.shape[0]
     if measure == "raw":
         diff, same = counters["diff"], counters["same"]
@@ -144,10 +154,11 @@ def _finalize_python(measure, counters, q_counts, t_counts, out):
     elif measure == "tn93":
         same, kk = counters["same"], counters["kk"]
         p1, p2 = counters["p1"], counters["p2"]
+        bcq, iq, bct, it = bc
         for i in range(n):
             out[i] = measures.finalize_tn93(
                 int(same[i]), int(kk[i]), int(p1[i]), int(p2[i]),
-                tuple(q_counts[i]), tuple(t_counts[i]),
+                tuple(bcq[iq[i]]), tuple(bct[it[i]]),
             )
     else:
         raise ValueError(f"unknown measure {measure!r}")

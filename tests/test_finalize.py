@@ -46,14 +46,19 @@ def test_native_matches_python_bitwise(measure, rng):
     n = 4000
     counters = rand_counters(rng, n)
     if measure == "tn93":
-        qc = rng.integers(0, 500, size=(n, 4)).astype(np.int64)
-        tc = rng.integers(0, 500, size=(n, 4)).astype(np.int64)
+        # distinct tally tables + non-trivial index arrays: exercises
+        # the native gather against python-side indexed lookups
+        bcq = rng.integers(0, 500, size=(97, 4)).astype(np.int32)
+        bct = rng.integers(0, 500, size=(41, 4)).astype(np.int32)
+        iq = rng.integers(0, 97, size=n).astype(np.int32)
+        it = rng.integers(0, 41, size=n).astype(np.int32)
+        bc = (bcq, iq, bct, it)
     else:
-        qc = tc = None
+        bc = None
     out_c = np.empty(n, dtype=np.float64)
     out_py = np.empty(n, dtype=np.float64)
-    _finalize_native(get_lib(), measure, dict(counters), qc, tc, out_c)
-    _finalize_python(measure, dict(counters), qc, tc, out_py)
+    _finalize_native(get_lib(), measure, dict(counters), bc, out_c)
+    _finalize_python(measure, dict(counters), bc, out_py)
     assert np.array_equal(
         bits_canonical_nan(out_c), bits_canonical_nan(out_py)
     ), measure
@@ -72,12 +77,14 @@ def test_edge_cases_bitwise(rng):
         "p2": np.array([0, 0, 1, 0], dtype=np.int32),
     }
     for measure in ("raw", "jc69", "k80", "tn93"):
-        qc = np.array([[1, 1, 1, 1]] * 4, dtype=np.int64)
-        tc = np.array([[2, 0, 1, 1]] * 4, dtype=np.int64)
+        bcq = np.array([[1, 1, 1, 1]], dtype=np.int32)
+        bct = np.array([[2, 0, 1, 1]], dtype=np.int32)
+        zeros = np.zeros(4, dtype=np.int32)
+        bc = (bcq, zeros, bct, zeros)
         out_c = np.empty(4, dtype=np.float64)
         out_py = np.empty(4, dtype=np.float64)
-        _finalize_native(get_lib(), measure, dict(cases), qc, tc, out_c)
-        _finalize_python(measure, dict(cases), qc, tc, out_py)
+        _finalize_native(get_lib(), measure, dict(cases), bc, out_c)
+        _finalize_python(measure, dict(cases), bc, out_py)
         assert np.array_equal(
             bits_canonical_nan(out_c), bits_canonical_nan(out_py)
         ), measure
