@@ -85,6 +85,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.dt_format_rows_pre.restype = i64
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i16 = ctypes.POINTER(ctypes.c_int16)
+    lib.dt_code_hist.argtypes = [p_u8, i64, i64, p_i16, p_u8, p_i32, i64]
     lib.dt_cpu_raw_pairs.argtypes = [p_u8, i64, i64, p_i32, p_i32, i64]
     lib.dt_cpu_raw_pairs.restype = i64
     lib.dt_parse_fasta_fill.argtypes = [

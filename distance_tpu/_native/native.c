@@ -115,6 +115,25 @@ void dt_finalize_tn93_gather(const int32_t *same, const int32_t *kk,
     }
 }
 
+/* Per-record code-pair histogram for the stream-mode variant-column
+ * split.  ``colkey[c]`` is idx(a)*ncodes for columns where the loaded
+ * alignment is invariant with code a, or the sentinel bin base for
+ * variant columns; ``idx_lut`` maps a record byte to its code index.
+ * One pass per record accumulates h[colkey[c] + idx_lut[row[c]]] — the
+ * histogram (a few hundred int32 bins, L1-resident) then contracts with
+ * each counter's code-pair weight table on the Python side. */
+void dt_code_hist(const uint8_t *mat, int64_t rows, int64_t width,
+                  const int16_t *colkey, const uint8_t *idx_lut,
+                  int32_t *hist, int64_t nbins) {
+    for (int64_t r = 0; r < rows; r++) {
+        const uint8_t *row = mat + r * width;
+        int32_t *h = hist + r * nbins;
+        for (int64_t c = 0; c < width; c++) {
+            h[colkey[c] + idx_lut[row[c]]]++;
+        }
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* TSV formatting                                                      */
 /* ------------------------------------------------------------------ */

@@ -633,6 +633,105 @@ def _gather_strip_triangle(strip: np.ndarray, si: int, i0: int, n: int,
 PRUNE_MIN_FRACTION = 0.25
 
 
+class _StreamSplit:
+    """Variant/invariant column split for stream mode.
+
+    Every counter is a columnwise sum of per-code-pair weights
+    W_k(a, b) (ops/features.reference_counter_matrix).  A column where
+    every LOADED row holds one code ``a`` contributes W_k(a, b_r) to
+    each pair of streamed record r — independent of the loaded row — so
+    the device sweep runs over the variant columns only, and each
+    record's invariant contribution is restored as a per-record counter
+    offset computed from one small code-pair histogram (native
+    dt_code_hist, one pass over the record's bytes).  Exactness is
+    unconditional; wire bytes and MXU work shrink by the invariant
+    fraction.  This is the streamed-path analog of the reference's
+    consensus-difference sparsification (measures.rs:28-53) and of the
+    loaded-path invariant-column pruning above.
+    """
+
+    def __init__(self, matrix: np.ndarray, plan: CounterPlan):
+        from distance_tpu.encoding import ALL_CODES
+        from distance_tpu.ops.features import reference_counter_matrix
+
+        first = matrix[0:1]
+        inv = (matrix == first).all(axis=0) if matrix.size else (
+            np.zeros(matrix.shape[1], dtype=bool)
+        )
+        self.frac = float(inv.mean()) if inv.size else 0.0
+        if inv.size and inv.all():
+            # keep one column on-device so the block engine always has a
+            # non-empty matrix (identical loaded rows edge case)
+            inv = inv.copy()
+            inv[0] = False
+        self.keep = ~inv
+        nc = len(ALL_CODES)
+        # bins: (code a, code b) pairs row-major, plus one sentinel row
+        # absorbing variant columns (ignored by the zero weight tail)
+        self.nbins = nc * nc + nc
+        idx_lut = np.zeros(256, dtype=np.uint8)
+        idx_lut[ALL_CODES] = np.arange(nc, dtype=np.uint8)
+        self.idx_lut = idx_lut
+        colkey = np.full(matrix.shape[1], nc * nc, dtype=np.int16)
+        colkey[inv] = idx_lut[first[0][inv]].astype(np.int16) * nc
+        self.colkey = np.ascontiguousarray(colkey)
+        self.wflat = {}
+        for name in plan.counters:
+            w = reference_counter_matrix(name)[
+                np.ix_(ALL_CODES, ALL_CODES)
+            ].astype(np.int32)
+            flat = np.zeros(self.nbins, dtype=np.int32)
+            flat[: nc * nc] = w.reshape(-1)
+            self.wflat[name] = flat
+
+    def offsets(self, mat: np.ndarray) -> Dict[str, np.ndarray]:
+        """Counter name -> (rows,) int32 invariant-column offsets."""
+        hist = self._hist(np.ascontiguousarray(mat))
+        return {k: hist @ w for k, w in self.wflat.items()}
+
+    def _hist(self, mat: np.ndarray) -> np.ndarray:
+        import ctypes
+
+        from distance_tpu._native import get_lib
+
+        rows, width = mat.shape
+        hist = np.zeros((rows, self.nbins), dtype=np.int32)
+        lib = get_lib()
+        if lib is None:
+            keys = self.colkey[None, :].astype(np.int32) + self.idx_lut[mat]
+            keys += np.arange(rows, dtype=np.int32)[:, None] * self.nbins
+            hist[:] = np.bincount(
+                keys.ravel(), minlength=rows * self.nbins
+            ).reshape(rows, self.nbins)
+            return hist
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        p_i16 = ctypes.POINTER(ctypes.c_int16)
+        p_i32 = ctypes.POINTER(ctypes.c_int32)
+
+        def run(a, b):
+            lib.dt_code_hist(
+                mat[a:b].ctypes.data_as(p_u8), b - a, width,
+                self.colkey.ctypes.data_as(p_i16),
+                self.idx_lut.ctypes.data_as(p_u8),
+                hist[a:b].ctypes.data_as(p_i32), self.nbins,
+            )
+
+        chunk = max(64, rows // 8)
+        if rows > 2 * chunk:
+            from distance_tpu.finalize import _get_pool
+
+            pool = _get_pool()
+            futs = [
+                pool.submit(run, a, min(a + chunk, rows))
+                for a in range(0, rows, chunk)
+            ]
+            for f in futs:
+                f.result()
+        elif rows:
+            run(0, rows)
+        return hist
+
+
 def _prune_invariant_columns(mats: Sequence[np.ndarray]):
     """Drop columns where every row (across all given matrices) holds the
     same code — the TPU-native analog of the reference's
@@ -1263,19 +1362,29 @@ def _run_stream(setup: Setup) -> None:
     # batch is emitted — matching the reference's pipeline, where the
     # writer has consumed all batches sent before the reader failed.
     user_b = max(1, setup.batchsize)
+    split = None
+    if not _os.environ.get("DISTANCE_TPU_NO_STREAM_SPLIT"):
+        cand = _StreamSplit(aln.matrix, get_plan(setup.measure))
+        if cand.frac >= PRUNE_MIN_FRACTION:
+            split = cand
+    width_dev = int(split.keep.sum()) if split is not None else width
     backend = _resolve_backend(
-        setup.backend, float(n1) * DEV_BATCH_ROWS * max(width, 1)
+        setup.backend, float(n1) * DEV_BATCH_ROWS * max(width_dev, 1)
     )
     ti = min(setup.tile_i, _pow2_at_least(n1))
-    eng = _BlockEngine(setup.measure, backend, ti, DEV_BATCH_ROWS, width)
-    m1 = eng.prepare(aln.matrix, ti)
+    eng = _BlockEngine(setup.measure, backend, ti, DEV_BATCH_ROWS, width_dev)
+    m1 = eng.prepare(
+        np.ascontiguousarray(aln.matrix[:, split.keep])
+        if split is not None else aln.matrix,
+        ti,
+    )
     plan = eng.plan
 
     pending: List[tuple] = []
     emitter = _AsyncEmitter()
 
     def flush_one() -> None:
-        g_ord, local_ord, ids2, bcounts, handle, bn, redispatch = (
+        g_ord, local_ord, ids2, bcounts, offs, handle, bn, redispatch = (
             pending.pop(0)
         )
         strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
@@ -1288,6 +1397,13 @@ def _run_stream(setup: Setup) -> None:
             name: np.ascontiguousarray(strip[k, :n1, :bn].T).reshape(-1)
             for k, name in enumerate(plan.counters)
         }
+        if offs is not None:
+            # re-add each record's invariant-column contribution (same
+            # value for every loaded row of that record)
+            counters = {
+                name: counters[name] + np.repeat(offs[name][:bn], n1)
+                for name in counters
+            }
         bc = None
         if setup.measure == "tn93":
             # loaded side indexed by row_idx, streamed side by local_cols
@@ -1338,13 +1454,18 @@ def _run_stream(setup: Setup) -> None:
         )
         group, group_rows = [], 0
         bn = mat.shape[0]
+        offs = split.offsets(mat) if split is not None else None
+        mat_dev = (
+            np.ascontiguousarray(mat[:, split.keep])
+            if split is not None else mat
+        )
         rows_pad = -(-bn // DEV_BATCH_ROWS) * DEV_BATCH_ROWS
         if backend == "numpy":
-            m2 = _pad_to(mat, rows_pad, width)
+            m2 = _pad_to(mat_dev, rows_pad, width_dev)
         else:
             import jax.numpy as jnp
 
-            m2 = jnp.asarray(_pad_to(mat, rows_pad, m1.shape[1]))
+            m2 = jnp.asarray(_pad_to(mat_dev, rows_pad, m1.shape[1]))
 
         def dispatch(m2=m2, rows_pad=rows_pad, mode=None):
             handles = [
@@ -1362,7 +1483,7 @@ def _run_stream(setup: Setup) -> None:
             )
 
         pending.append(
-            (this_global, this_local, ids2, bcounts,
+            (this_global, this_local, ids2, bcounts, offs,
              _AsyncFetch(dispatch(), axis=1), bn,
              lambda mode, m2=m2, rp=rows_pad: dispatch(m2, rp, mode))
         )

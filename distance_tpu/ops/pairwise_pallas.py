@@ -167,6 +167,17 @@ def counters_pallas(
     grid = (m // ti, n // tj, l_pad // ts)
 
     prefer = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    if prefer == jnp.float32:
+        # Same exactness bound as counters_xla: f32 partial sums must
+        # stay below 2^24 (products in {-1, 0, 1}, summed over
+        # channels * sites per counter).
+        max_chans = max(hi - lo for _, lo, hi in plan.slices)
+        if max_chans * l_pad >= 1 << 24:
+            raise ValueError(
+                "float accumulation would lose integer exactness for "
+                f"width {l_pad} x {max_chans} channels; use the "
+                "default int8 dtype"
+            )
     kernel = functools.partial(_kernel, plan=plan, dtype=dtype, prefer=prefer)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((m, n), prefer) for _ in plan.counters
