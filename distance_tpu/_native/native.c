@@ -164,11 +164,30 @@ static int fmt_f64(char *buf, double v) {
  * tables; ``values`` the distances in emission order.  Output is appended
  * into ``out`` (caller-sized); returns bytes written, or -1 if the buffer
  * would overflow. */
+/* Direct-mapped memo for formatted f64 values, keyed on the bit
+ * pattern.  Distances on real alignments repeat heavily (few distinct
+ * counter tuples), so most rows skip snprintf entirely; collisions just
+ * overwrite.  Strings longer than the slot (extreme magnitudes) bypass
+ * the cache. */
+#define F64_MEMO_BITS 16
+#define F64_MEMO_SLOTS (1 << F64_MEMO_BITS)
+#define F64_MEMO_STR 30
+typedef struct {
+    uint64_t bits;
+    uint8_t len; /* 0 = empty slot */
+    char s[F64_MEMO_STR];
+} f64_memo_slot;
+
+/* Thread-local and persistent across calls: bits -> "%.12f" string is a
+ * pure mapping, so stale entries from earlier blocks remain valid. */
+static __thread f64_memo_slot f64_memo[F64_MEMO_SLOTS];
+
 int64_t dt_format_rows_f64(const char *ids1, const int64_t *off1,
                            const char *ids2, const int64_t *off2,
                            const int32_t *pair_i, const int32_t *pair_j,
                            const double *values, int64_t n_rows, char *out,
                            int64_t out_cap) {
+    f64_memo_slot *memo = f64_memo;
     int64_t w = 0;
     for (int64_t r = 0; r < n_rows; r++) {
         int64_t i = pair_i[r], j = pair_j[r];
@@ -181,7 +200,23 @@ int64_t dt_format_rows_f64(const char *ids1, const int64_t *off1,
         memcpy(out + w, ids2 + off2[j], l2);
         w += l2;
         out[w++] = '\t';
-        w += fmt_f64(out + w, values[r]);
+        uint64_t bits;
+        memcpy(&bits, &values[r], 8);
+        f64_memo_slot *slot =
+            &memo[(bits * UINT64_C(0x9E3779B97F4A7C15)) >>
+                  (64 - F64_MEMO_BITS)];
+        if (slot->len && slot->bits == bits) {
+            memcpy(out + w, slot->s, slot->len);
+            w += slot->len;
+        } else {
+            int fl = fmt_f64(out + w, values[r]);
+            if (fl <= F64_MEMO_STR) {
+                slot->bits = bits;
+                slot->len = (uint8_t)fl;
+                memcpy(slot->s, out + w, fl);
+            }
+            w += fl;
+        }
         out[w++] = '\n';
     }
     return w;
