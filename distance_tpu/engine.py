@@ -431,15 +431,20 @@ class _BlockEngine:
         # Multi-chip pair-data parallelism (xla backend): replicate the
         # matrix, shard each block's column axis across the device mesh.
         self.sharded = backend == "xla" and _device_mesh(tj) is not None
+        # Diff-encoded uploads (ops/diffup.py): set by prepare(diff_ref=)
+        self.diff_up = None
 
     def prepare(self, matrix: np.ndarray, max_block: int,
-                row_tile: Optional[int] = None) -> object:
+                row_tile: Optional[int] = None,
+                diff_ref: Optional[np.ndarray] = None) -> object:
         """Pad and (for device backends) upload a sequence matrix.
 
         ``max_block`` is the largest tile size whose slices must stay in
         bounds; rows are padded so any aligned slice fits.  With
         ``row_tile``, rows are padded to a multiple of it instead (used
-        by the out-of-core sweep for super-row staging).
+        by the out-of-core sweep for super-row staging).  ``diff_ref``
+        (a width-length code row) enables diff-encoded uploads against
+        that reference for this matrix and later ``upload_rows`` calls.
         """
         n, width = matrix.shape
         if self.backend == "numpy":
@@ -457,11 +462,19 @@ class _BlockEngine:
         import jax
         import jax.numpy as jnp
 
+        if diff_ref is not None and not self.sharded:
+            from distance_tpu.ops.diffup import DiffUploader
+
+            refp = np.zeros(l_pad, dtype=np.uint8)
+            refp[:width] = diff_ref
+            self.diff_up = DiffUploader(refp)
         if self.sharded:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             mesh = _device_mesh(self.tj)
             dev = jax.device_put(padded, NamedSharding(mesh, P(None, None)))
+        elif self.diff_up is not None:
+            dev = self.diff_up.upload(padded)
         else:
             dev = _chunked_h2d(padded)
         # Warm up the device->host path once: on some transports the very
@@ -482,6 +495,26 @@ class _BlockEngine:
         fn = _jit_block_fn(self.measure, self.backend, ti, tj, mode,
                            self.width, self.sharded and tj == self.tj)
         return fn(m1, m2, i0, j0)
+
+    def diff_ref_for(self, source: np.ndarray) -> Optional[np.ndarray]:
+        """Reference row for diff-encoded uploads of ``source`` (a row
+        sample's per-column mode), or None when diff uploads don't apply
+        (numpy backend, sharded replication, or disabled by env)."""
+        if self.backend == "numpy" or self.sharded or not source.size:
+            return None
+        if _os.environ.get("DISTANCE_TPU_NO_DIFF_UPLOAD"):
+            return None
+        from distance_tpu.ops.diffup import mode_row
+
+        step = max(1, source.shape[0] // 4096)
+        return mode_row(np.ascontiguousarray(source[::step][:4096]))
+
+    def upload_rows(self, padded: np.ndarray):
+        """Upload one padded row batch (stream-mode m2), diff-encoded
+        against the reference row when prepare(diff_ref=) configured it."""
+        if self.diff_up is not None:
+            return self.diff_up.upload(padded)
+        return _chunked_h2d(padded)
 
     @property
     def pack_mode(self) -> str:
@@ -1077,7 +1110,9 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         return
     ti, tj = _choose_tiles(n, n, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
-    mat = eng.prepare(source, max(ti, tj))
+    mat = eng.prepare(
+        source, max(ti, tj), diff_ref=eng.diff_ref_for(source)
+    )
     plan = eng.plan
 
     strip_starts = list(range(0, n - 1, ti))
@@ -1177,6 +1212,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
 
     meter = ProgressMeter("sweep (out-of-core)", weights[a + done : b])
     emitter = _AsyncEmitter()
+    dref = eng.diff_ref_for(source)
 
     for g0 in range(row_lo, row_hi, group_rows):
         g1 = min(g0 + group_rows, row_hi, n)
@@ -1184,7 +1220,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
         last_ordinal = (g1 - 1 - row_lo) // ti
         if last_ordinal < done:
             continue
-        dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti)
+        dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti, diff_ref=dref)
         span = n - g0
         bufs = np.zeros((len(plan.counters), g1 - g0, span), dtype=np.int32)
 
@@ -1193,7 +1229,8 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             q1 = min(q0 + sr_rows, n)
             if q1 <= g0:
                 continue
-            dev_y = eng.prepare(source[q0:q1], tj, row_tile=tj)
+            dev_y = eng.prepare(source[q0:q1], tj, row_tile=tj,
+                                diff_ref=dref)
             sr_items = []
             for i0_loc in range(0, g1 - g0, ti):
                 abs_i0 = g0 + i0_loc
@@ -1274,8 +1311,9 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     backend = _resolve_backend(setup.backend, float(n1) * n2 * max(width, 1))
     ti, tj = _choose_tiles(n1, n2, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
-    m1 = eng.prepare(src1, ti)
-    m2 = eng.prepare(src2, tj)
+    dref = eng.diff_ref_for(src1)
+    m1 = eng.prepare(src1, ti, diff_ref=dref)
+    m2 = eng.prepare(src2, tj, diff_ref=dref)
     plan = eng.plan
     col_starts = list(range(0, n2, tj))
 
@@ -1373,11 +1411,21 @@ def _run_stream(setup: Setup) -> None:
     )
     ti = min(setup.tile_i, _pow2_at_least(n1))
     eng = _BlockEngine(setup.measure, backend, ti, DEV_BATCH_ROWS, width_dev)
-    m1 = eng.prepare(
+    mat_dev_loaded = (
         np.ascontiguousarray(aln.matrix[:, split.keep])
-        if split is not None else aln.matrix,
-        ti,
+        if split is not None else aln.matrix
     )
+    # Diff-encoded uploads: streamed records share ancestry with the
+    # loaded alignment, so its per-column mode is a good reference row
+    # (each batch falls back to dense when too diverse — diffup.py)
+    diff_ref = None
+    if backend != "numpy" and not _os.environ.get(
+        "DISTANCE_TPU_NO_DIFF_UPLOAD"
+    ):
+        from distance_tpu.ops.diffup import mode_row
+
+        diff_ref = mode_row(mat_dev_loaded)
+    m1 = eng.prepare(mat_dev_loaded, ti, diff_ref=diff_ref)
     plan = eng.plan
 
     pending: List[tuple] = []
@@ -1463,9 +1511,7 @@ def _run_stream(setup: Setup) -> None:
         if backend == "numpy":
             m2 = _pad_to(mat_dev, rows_pad, width_dev)
         else:
-            import jax.numpy as jnp
-
-            m2 = jnp.asarray(_pad_to(mat_dev, rows_pad, m1.shape[1]))
+            m2 = eng.upload_rows(_pad_to(mat_dev, rows_pad, m1.shape[1]))
 
         def dispatch(m2=m2, rows_pad=rows_pad, mode=None):
             handles = [

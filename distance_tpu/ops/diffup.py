@@ -1,0 +1,128 @@
+"""Diff-encoded host-to-device uploads.
+
+Low-diversity alignments (the reference's design regime — SARS-CoV-2
+scale data, /root/reference/src/fastaio.rs:215-286) are overwhelmingly
+identical to a per-column consensus: each record differs at a few dozen
+of ~30k sites.  Uploading the dense uint8 matrix therefore wastes almost
+all of the host->device bandwidth, which is the bottleneck of stream
+mode (every streamed record crosses the link once).
+
+This module uploads only the differences: a reference row lives on the
+device, and each batch ships (linear index, code) pairs that a jitted
+scatter rebuilds into the dense padded matrix on device.  The rebuilt
+matrix is byte-identical to the dense upload except for PAD ROWS, which
+hold the reference row instead of zeros — pad-row codes never influence
+real pairs (each pair reads only its own two rows) and pad COLUMNS stay
+zero because the reference row itself is zero-padded.
+
+Exactness is unconditional; wire bytes shrink by ~width/(5 * diffs_per
+_record) (int32 index + uint8 code per diff).  Falls back to the dense
+chunked upload when the batch is too diverse for the encoding to win.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+
+# Pad flat diff lists to one of these capacities so the scatter builder
+# compiles once per (shape, capacity) instead of once per batch.
+_MIN_CAP = 4096
+
+# Diff upload must shrink wire bytes by at least this factor to be worth
+# the device-side rebuild.
+_MIN_WIN = 3.0
+
+
+def _round_cap(n: int) -> int:
+    cap = _MIN_CAP
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fn(rows_pad: int, l_pad: int, cap: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def build(ref, idx, vals):
+        base = jnp.broadcast_to(ref, (rows_pad, l_pad)).reshape(-1)
+        # padding entries carry an out-of-bounds index and are dropped
+        out = base.at[idx].set(vals, mode="drop")
+        return out.reshape(rows_pad, l_pad)
+
+    return build
+
+
+def mode_row(matrix: np.ndarray) -> np.ndarray:
+    """Per-column modal code over the matrix — the reference row that
+    minimizes expected diffs for records sharing its ancestry."""
+    from distance_tpu.encoding import ALL_CODES
+
+    if matrix.shape[0] == 0:
+        return np.zeros(matrix.shape[1], dtype=np.uint8)
+    best_count = None
+    best = np.full(matrix.shape[1], ALL_CODES[0], dtype=np.uint8)
+    for code in ALL_CODES:
+        count = (matrix == code).sum(axis=0)
+        if best_count is None:
+            best_count = count.copy()
+        else:
+            better = count > best_count
+            best[better] = code
+            np.maximum(best_count, count, out=best_count)
+    return best
+
+
+class DiffUploader:
+    """Upload padded row batches against a fixed padded reference row."""
+
+    def __init__(self, ref_padded: np.ndarray):
+        self.l_pad = int(ref_padded.shape[0])
+        self.ref = np.ascontiguousarray(ref_padded, dtype=np.uint8)
+        self._ref_dev = None
+        disable = os.environ.get("DISTANCE_TPU_NO_DIFF_UPLOAD")
+        force = os.environ.get("DISTANCE_TPU_DIFF_UPLOAD") == "force"
+        self._min_win = 0.0 if force else (np.inf if disable else _MIN_WIN)
+
+    def upload(self, padded: np.ndarray):
+        """Device (rows_pad, l_pad) uint8 array; diff-encoded when the
+        batch is low-diversity, else the dense chunked fallback."""
+        from distance_tpu.engine import _chunked_h2d
+
+        rows_pad, l_pad = padded.shape
+        assert l_pad == self.l_pad, (l_pad, self.l_pad)
+        # pad rows are all-zero in `padded` but become `ref` on device;
+        # diff only the real (non-pad) prefix — trailing all-zero rows
+        # are indistinguishable from pad rows here, and a legitimately
+        # all-invalid record encodes as width diffs anyway, never as an
+        # accidental pad row (code 0 never equals a nonzero ref entry).
+        neq = padded != self.ref[None, :]
+        flat = np.flatnonzero(neq.reshape(-1)).astype(np.int32)
+        # rows of pure padding contribute ref-row diffs vs zero; exclude
+        # them by construction: find the last row with any nonzero byte
+        nz_rows = np.flatnonzero(padded.any(axis=1))
+        n_real = int(nz_rows[-1]) + 1 if nz_rows.size else 0
+        cutoff = n_real * l_pad
+        flat = flat[flat < cutoff]
+        dense_bytes = padded.nbytes
+        diff_bytes = flat.size * 5 + self.l_pad
+        if diff_bytes * self._min_win > dense_bytes:
+            return _chunked_h2d(padded)
+        import jax.numpy as jnp
+
+        if self._ref_dev is None:
+            self._ref_dev = jnp.asarray(self.ref)
+        vals = padded.reshape(-1)[flat]
+        cap = _round_cap(flat.size)
+        idx = np.full(cap, rows_pad * l_pad, dtype=np.int32)  # OOB pad
+        idx[: flat.size] = flat
+        v = np.zeros(cap, dtype=np.uint8)
+        v[: flat.size] = vals
+        build = _build_fn(rows_pad, l_pad, cap)
+        return build(self._ref_dev, jnp.asarray(idx), jnp.asarray(v))

@@ -1,0 +1,122 @@
+"""Diff-encoded host-to-device uploads (ops/diffup.py).
+
+The rebuilt device matrix must match the dense upload on every real row
+(pad rows hold the reference row instead of zeros — never read by real
+pairs), and end-to-end output must be byte-identical with diff uploads
+forced on.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from distance_tpu.encoding import ALL_CODES
+from distance_tpu.ops.diffup import DiffUploader, mode_row
+from tests.conftest import make_fasta
+from tests.test_golden import run_engine
+from tests.test_stream_split import low_diversity_fastas
+
+
+def _rand_codes(rng, rows, width):
+    return rng.choice(ALL_CODES, size=(rows, width)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("n_diffs", [0, 1, 7, 4096, 4097])
+def test_rebuild_matches_dense(n_diffs, monkeypatch):
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    rng = np.random.default_rng(n_diffs)
+    rows, l_pad = 8, 256
+    ref = _rand_codes(rng, 1, l_pad)[0]
+    padded = np.tile(ref, (rows, 1))
+    # mutate n_diffs random positions to a different code
+    flat = rng.choice(rows * l_pad, size=min(n_diffs, rows * l_pad),
+                      replace=False)
+    for f in flat:
+        r, c = divmod(int(f), l_pad)
+        cur = padded[r, c]
+        padded[r, c] = next(x for x in ALL_CODES if x != cur)
+    up = DiffUploader(ref)
+    got = np.asarray(up.upload(padded.copy()))
+    np.testing.assert_array_equal(got, padded)
+
+
+def test_pad_rows_become_ref(monkeypatch):
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    rng = np.random.default_rng(0)
+    l_pad = 128
+    ref = _rand_codes(rng, 1, l_pad)[0]
+    padded = np.zeros((6, l_pad), dtype=np.uint8)
+    padded[:3] = _rand_codes(rng, 3, l_pad)  # rows 3..5 are padding
+    got = np.asarray(DiffUploader(ref).upload(padded.copy()))
+    np.testing.assert_array_equal(got[:3], padded[:3])
+    np.testing.assert_array_equal(got[3:], np.tile(ref, (3, 1)))
+
+
+def test_dense_fallback_on_diverse_batch():
+    # no force: a batch with ~every byte differing must take the dense
+    # path and still match exactly
+    rng = np.random.default_rng(1)
+    l_pad = 128
+    ref = _rand_codes(rng, 1, l_pad)[0]
+    padded = _rand_codes(rng, 8, l_pad)
+    up = DiffUploader(ref)
+    assert up._min_win > 0
+    got = np.asarray(up.upload(padded.copy()))
+    np.testing.assert_array_equal(got, padded)
+
+
+def test_mode_row():
+    from distance_tpu.encoding import A, C, G
+
+    mat = np.array(
+        [[A, C, C], [A, C, G], [G, C, G], [A, G, G]], dtype=np.uint8
+    )
+    ref = mode_row(mat)
+    assert ref[0] == A and ref[1] == C and ref[2] == G
+
+
+@pytest.mark.parametrize("measure", ["raw", "tn93", "n"])
+def test_square_end_to_end_forced(measure, monkeypatch):
+    f1, _ = low_diversity_fastas(seed=21)
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    got = run_engine(measure, f1, backend="xla")[0]
+    monkeypatch.delenv("DISTANCE_TPU_DIFF_UPLOAD")
+    monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
+    want = run_engine(measure, f1, backend="xla")[0]
+    assert got == want
+
+
+def test_rectangle_end_to_end_forced(monkeypatch):
+    f1, f2 = low_diversity_fastas(seed=22)
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    got = run_engine("k80", f1, fasta2=f2, backend="xla")[0]
+    monkeypatch.delenv("DISTANCE_TPU_DIFF_UPLOAD")
+    monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
+    want = run_engine("k80", f1, fasta2=f2, backend="xla")[0]
+    assert got == want
+
+
+@pytest.mark.parametrize("measure", ["jc69", "tn93"])
+def test_stream_end_to_end_forced(measure, monkeypatch):
+    f1, f2 = low_diversity_fastas(seed=23)
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    got = run_engine(measure, f1, stream=f2, backend="xla", batchsize=4)[0]
+    monkeypatch.delenv("DISTANCE_TPU_DIFF_UPLOAD")
+    monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
+    want = run_engine(measure, f1, stream=f2, backend="xla", batchsize=4)[0]
+    assert got == want
+
+
+def test_outofcore_forced(monkeypatch, tmp_path):
+    # tiny HBM budget forces the blocked sweep; diff uploads on
+    import distance_tpu.engine as engine
+
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", 2000)
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    f1, _ = low_diversity_fastas(seed=24, n1=40, width=120, nmut=4)
+    got = run_engine("raw", f1, backend="xla", tile_i=8, tile_j=8)[0]
+    monkeypatch.delenv("DISTANCE_TPU_DIFF_UPLOAD")
+    monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
+    want = run_engine("raw", f1, backend="xla", tile_i=8, tile_j=8)[0]
+    assert got == want
