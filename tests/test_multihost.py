@@ -54,9 +54,7 @@ def run_stream_shard(measure, f1, f2, shard, out_path, batchsize=3):
 @pytest.mark.parametrize("measure", ["n", "raw", "tn93"])
 def test_stream_shards_merge(measure, nshards, fastas, tmp_path, monkeypatch):
     # small device groups so several units exist per shard
-    import distance_tpu.engine as engine
-
-    monkeypatch.setattr(engine, "DEV_BATCH_ROWS", 4)
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "4")
     f1, f2 = fastas
     parts = []
     for k in range(nshards):
