@@ -84,6 +84,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p_c, p_i64, p_i32, i64, ctypes.c_void_p, i64,
     ]
     lib.dt_format_rows_pre.restype = i64
+    lib.dt_key_rank.argtypes = [p_i32, i64, p_i32, p_i32, p_i64, p_i32]
+    lib.dt_key_rank.restype = i64
+    lib.dt_row_bounds.argtypes = [
+        p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, i64, p_i64,
+    ]
+    lib.dt_row_bounds.restype = None
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
     p_i16 = ctypes.POINTER(ctypes.c_int16)
     lib.dt_code_hist.argtypes = [p_u8, i64, i64, p_i16, p_u8, p_i32, i64]

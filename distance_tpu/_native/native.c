@@ -222,6 +222,45 @@ int64_t dt_format_rows_f64(const char *ids1, const int64_t *off1,
     return w;
 }
 
+/* Keyed-memo rank assignment: one pass over per-row value keys.
+ * `rank` (keyspace entries) must arrive filled with -1.  Each new key
+ * gets the next dense rank; its key and first-occurrence row are
+ * recorded so the caller can gather one representative value per rank.
+ * Replaces a bincount + scatter + gather numpy dance (~10x on slow
+ * hosts).  Returns the number of distinct keys. */
+int64_t dt_key_rank(const int32_t *keys, int64_t n, int32_t *rank,
+                    int32_t *present_key, int64_t *first_row,
+                    int32_t *vidx) {
+    int64_t np = 0;
+    for (int64_t r = 0; r < n; r++) {
+        int32_t k = keys[r];
+        int32_t rr = rank[k];
+        if (rr < 0) {
+            rr = (int32_t)np;
+            rank[k] = rr;
+            present_key[np] = k;
+            first_row[np] = r;
+            np++;
+        }
+        vidx[r] = rr;
+    }
+    return np;
+}
+
+/* Fused per-row byte length + exclusive prefix sum for the keyed
+ * emission path: bounds[r+1] = bounds[r] + |id1| + |id2| + |value| + 3
+ * (two tabs + newline).  bounds[0] must be preset by the caller. */
+void dt_row_bounds(const int32_t *pair_i, const int32_t *pair_j,
+                   const int32_t *vidx, const int32_t *idl1,
+                   const int32_t *idl2, const int32_t *vlen, int64_t n,
+                   int64_t *bounds) {
+    int64_t acc = bounds[0];
+    for (int64_t r = 0; r < n; r++) {
+        acc += (int64_t)idl1[pair_i[r]] + idl2[pair_j[r]] + vlen[vidx[r]] + 3;
+        bounds[r + 1] = acc;
+    }
+}
+
 /* Assembly-only row emitter: values arrive pre-formatted as a string
  * table (vblob/voffs) plus a per-row index.  Low-diversity alignments
  * have few distinct distances, so the caller formats each unique value

@@ -133,29 +133,49 @@ def _format_pool():
     return _get_pool()
 
 
-def _value_table(values: np.ndarray, keys: np.ndarray, keyspace: int):
+def _value_table(values: np.ndarray, keys: np.ndarray, keyspace: int,
+                 lib=None):
     """(vblob, voffs, vidx) from caller-supplied value keys.
 
     ``keys`` maps each row to an integer < ``keyspace`` that DETERMINES
     its value (the engine derives keys from the small per-pair counters,
-    so equal keys imply bit-identical values).  Distances on real
-    alignments repeat heavily, so each distinct key's value is formatted
-    once and row emission becomes pure memcpy (dt_format_rows_pre).
-    Sort-free: one bincount + two O(n) gathers.
+    so equal keys imply bit-identical values — so any occurrence may
+    represent its key).  Distances on real alignments repeat heavily, so
+    each distinct key's value is formatted once and row emission becomes
+    pure memcpy (dt_format_rows_pre).
     """
-    present = np.flatnonzero(np.bincount(keys, minlength=keyspace))
-    table = np.empty(keyspace, dtype=values.dtype)
-    table[keys] = values
-    if values.dtype == np.float64:
-        strs = [format_float(v).encode() for v in table[present]]
+    if lib is not None:
+        keys = np.ascontiguousarray(keys, dtype=np.int32)
+        n = keys.shape[0]
+        rank = np.full(keyspace, -1, dtype=np.int32)
+        cap = min(n, keyspace)
+        present = np.empty(cap, dtype=np.int32)
+        first_row = np.empty(cap, dtype=np.int64)
+        vidx = np.empty(n, dtype=np.int32)
+        p_i32 = ctypes.POINTER(ctypes.c_int32)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        n_present = lib.dt_key_rank(
+            keys.ctypes.data_as(p_i32), n, rank.ctypes.data_as(p_i32),
+            present.ctypes.data_as(p_i32),
+            first_row.ctypes.data_as(p_i64), vidx.ctypes.data_as(p_i32),
+        )
+        reps = values[first_row[:n_present]]
     else:
-        strs = [b"%d" % v for v in table[present]]
-    rank = np.zeros(keyspace, dtype=np.int32)
-    rank[present] = np.arange(present.size, dtype=np.int32)
-    vidx = rank[keys]
+        # numpy fallback: sort-free bincount + two O(n) gathers
+        present = np.flatnonzero(np.bincount(keys, minlength=keyspace))
+        table = np.empty(keyspace, dtype=values.dtype)
+        table[keys] = values
+        reps = table[present]
+        rank = np.zeros(keyspace, dtype=np.int32)
+        rank[present] = np.arange(present.size, dtype=np.int32)
+        vidx = np.ascontiguousarray(rank[keys])
+    if values.dtype == np.float64:
+        strs = [format_float(v).encode() for v in reps]
+    else:
+        strs = [b"%d" % v for v in reps]
     voffs = np.zeros(len(strs) + 1, dtype=np.int64)
     np.cumsum([len(s) for s in strs], out=voffs[1:])
-    return b"".join(strs), voffs, np.ascontiguousarray(vidx)
+    return b"".join(strs), voffs, vidx
 
 
 def _format_rows(
@@ -184,7 +204,7 @@ def _format_rows(
             blob2, off2.ctypes.data_as(p_i64),
         ]
         table = (
-            _value_table(values, keys, keyspace)
+            _value_table(values, keys, keyspace, lib)
             if keys is not None and n >= _MEMO_MIN_ROWS
             else None
         )
@@ -256,9 +276,14 @@ def _assemble_keyed(lib, id_args, off1, off2, pair_i, pair_j, table, n):
     idl1 = (off1[1:] - off1[:-1]).astype(np.int32)
     idl2 = (off2[1:] - off2[:-1]).astype(np.int32)
     vlen = (voffs[1:] - voffs[:-1]).astype(np.int32)
-    row_len = idl1[pair_i] + idl2[pair_j] + vlen[vidx] + 3
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
     bounds = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(row_len, out=bounds[1:])
+    lib.dt_row_bounds(
+        pair_i.ctypes.data_as(p_i32), pair_j.ctypes.data_as(p_i32),
+        vidx.ctypes.data_as(p_i32), idl1.ctypes.data_as(p_i32),
+        idl2.ctypes.data_as(p_i32), vlen.ctypes.data_as(p_i32),
+        n, bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
     total = int(bounds[-1])
     out = bytearray(total)
     base = ctypes.addressof((ctypes.c_char * 1).from_buffer(out))
