@@ -51,6 +51,8 @@ DEV_BATCH_ROWS = 512
 # Stream groups kept in flight (dispatched, not yet fetched); deeper than
 # double buffering so high per-request latency transports stay busy.
 STREAM_PENDING = int(_os.environ.get("DISTANCE_TPU_STREAM_PENDING", 3))
+# After this many consecutive narrow-pack saturations, dispatch wide.
+NARROW_STICKY_LIMIT = int(_os.environ.get("DISTANCE_TPU_NARROW_STICKY", 2))
 # Below this many pair-sites the NumPy path beats device dispatch+compile.
 SMALL_PROBLEM_PAIRSITES = 5e7
 
@@ -521,6 +523,11 @@ class _BlockEngine:
         self.sharded = backend == "xla" and _device_mesh(tj) is not None
         # Diff-encoded uploads (ops/diffup.py): set by prepare(diff_ref=)
         self.diff_up = None
+        # Consecutive narrow-pack saturations; past the sticky limit the
+        # engine dispatches wide directly (diverse data overflows the
+        # 8-bit lanes every time — paying narrow + wide + an extra round
+        # trip per block is strictly worse than wide alone).
+        self._overflow_streak = 0
 
     def prepare(self, matrix: np.ndarray, max_block: int,
                 row_tile: Optional[int] = None,
@@ -634,7 +641,13 @@ class _BlockEngine:
     def pack_mode(self) -> str:
         if self.backend == "numpy" or not self.packed:
             return "none"
+        if self._overflow_streak >= NARROW_STICKY_LIMIT:
+            return "wide"
         return "narrow"
+
+    def note_narrow(self, overflowed: bool) -> None:
+        """Record a narrow-fetch outcome (drives the sticky-wide switch)."""
+        self._overflow_streak = self._overflow_streak + 1 if overflowed else 0
 
     def to_host(self, handle) -> np.ndarray:
         """Synchronously materialize a dispatched block on host (used for
@@ -1089,13 +1102,16 @@ def _fetch_strip(
     vr = arr.shape[1] if valid_rows is None else valid_rows
     vc = arr.shape[2] if valid_cols is None else valid_cols
     arr = arr[:, :vr, :vc]
-    if eng.pack_mode == "narrow":
+    # The handle's dtype identifies how it was packed at dispatch time
+    # (int8 = narrow) — the engine's current mode may have moved on.
+    if eng.packed and arr.dtype == np.int8:
         from distance_tpu.ops.packing import unpack_host_narrow
 
         counters = unpack_host_narrow(eng.measure, arr, eng.width)
+        eng.note_narrow(counters is None)
         if counters is not None:
             return counters
-        # Rare: a counter saturated 8 bits — refetch this strip wide.
+        # A counter saturated 8 bits — refetch this strip wide.
         wide = redispatch("wide")
         arr = _chunked_d2h(wide, axis=-1)[:, :vr, :vc]
         from distance_tpu.ops.packing import unpack_host
@@ -1691,10 +1707,11 @@ def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
     if eng.backend == "numpy":
         return arr
     arr = arr[:, :valid_rows, :valid_cols]
-    if eng.pack_mode == "narrow":
+    if eng.packed and arr.dtype == np.int8:
         from distance_tpu.ops.packing import unpack_host_narrow
 
         counters = unpack_host_narrow(eng.measure, arr, eng.width)
+        eng.note_narrow(counters is None)
         if counters is not None:
             return counters
         wide = redispatch("wide")

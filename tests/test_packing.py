@@ -101,3 +101,21 @@ def test_engine_packed_blocks_match_unpacked():
     for measure in MEASURES:
         got, _ = run_engine(measure, fasta, backend="xla", tile_i=8, tile_j=16)
         assert got == expected_square(measure, fasta), measure
+
+
+def test_sticky_wide_after_consecutive_overflows():
+    """After NARROW_STICKY_LIMIT consecutive saturations the engine
+    dispatches wide directly (no narrow + refetch double round trip);
+    a successful narrow fetch resets the streak."""
+    from distance_tpu.engine import NARROW_STICKY_LIMIT, _BlockEngine
+
+    eng = _BlockEngine("raw", "xla", 8, 8, width=600)
+    assert eng.packed and eng.pack_mode == "narrow"
+    for _ in range(NARROW_STICKY_LIMIT - 1):
+        eng.note_narrow(True)
+    assert eng.pack_mode == "narrow"
+    eng.note_narrow(False)  # one clean fetch resets
+    assert eng.pack_mode == "narrow"
+    for _ in range(NARROW_STICKY_LIMIT):
+        eng.note_narrow(True)
+    assert eng.pack_mode == "wide"
