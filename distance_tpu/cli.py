@@ -26,6 +26,88 @@ USAGE = """All sequences across all input files must be the same length.
        cat bigAlignment.fasta | distance smallAlignment.fasta -s - > distances3.tsv
 """
 
+ABOUT = (
+    "Calculate genetic distances within/between fasta-format alignments"
+    " of DNA sequences"
+)
+
+# Reference options rendered with clap 4.5 conventions (about first,
+# `Usage:` heading, two-space indent, `<id>` value hints, [default:] and
+# [possible values:] annotations, -h/-V appended) — lib.rs:68-131.  The
+# engine's own flags follow in a separate section so the reference
+# surface reads exactly as its users know it.
+_REF_OPTS = [
+    ("-i, --input [<input>...]",
+     "One or two input alignment files in fasta format. Loaded into"
+     " memory. This flag can be omitted and the files passed as"
+     " positional arguments"),
+    ("-s, --stream <stream>",
+     "One input alignment file in fasta format. Streamed from disk (or"
+     ' stdin using "-s -"). Requires exactly one file also be loaded'),
+    ("-m, --measure <measure>",
+     "Which distance measure to use [default: raw] [possible values: n,"
+     " n_high, raw, jc69, k80, tn93]"),
+    ("-o, --output <output>",
+     "Output file in tab-separated-value format. Omit this option to"
+     " print to stdout"),
+    ("-t, --threads <threads>",
+     "How many threads to spin up for pairwise comparisons. Omitting"
+     " this option spins up the number of available CPUs"),
+    ("-b, --batchsize <batchsize>",
+     "Try setting this >(>) 1 to tune the workload per thread"
+     " [default: 1]"),
+    ("-l, --licenses", "Print licence information and exit"),
+    ("-h, --help", "Print help"),
+    ("-V, --version", "Print version"),
+]
+
+_EXT_OPTS = [
+    ("    --backend <backend>",
+     "Compute backend [default: auto] [possible values: auto, numpy,"
+     " xla, pallas]"),
+    ("    --resume",
+     "Resume an interrupted run: requires -o; keeps a <output>.progress"
+     " sidecar and continues from the last completed strip, producing a"
+     " byte-identical file"),
+    ("    --shard <K/N>",
+     "Compute the K-th of N balanced work shards (K in 0..N-1)."
+     " Load-mode shard outputs concatenate to the unsharded file;"
+     " stream-mode shards write a .units sidecar and merge via --merge"),
+    ("    --launch <N>",
+     "Single-command multi-process run: spawn N local shard workers and"
+     " merge their outputs; the final file is byte-identical to an"
+     " unsharded run"),
+    ("    --num-hosts <N>",
+     "Multi-host run over a shared filesystem: total number of hosts;"
+     " each host computes its shard into <output>.partK and host 0"
+     " merges"),
+    ("    --host-id <K>", "This host's index in 0..N-1 (with --num-hosts)"),
+    ("    --coordinator <ADDR>",
+     "jax.distributed coordinator address (host:port); derives"
+     " --num-hosts/--host-id from the runtime rendezvous and initializes"
+     " the global device mesh"),
+    ("    --merge <PART>...",
+     "Merge shard part files into -o/--output (or stdout) and exit;"
+     " interleaves stream-mode parts via their .units sidecars,"
+     " concatenates load-mode parts"),
+]
+
+
+def format_help() -> str:
+    # clap renders the override_usage verbatim: every line after the
+    # first is indented 7 spaces (including the blank one) and the
+    # string carries a trailing indented newline (lib.rs:72-84)
+    ul = USAGE.rstrip("\n").split("\n")
+    usage = "\n".join(
+        [ul[0]] + ["       " + l.strip() for l in ul[1:]]
+    ) + "\n       "
+    col = max(len(l) for l, _ in _REF_OPTS + _EXT_OPTS) + 2
+    lines = [ABOUT, "", "Usage: " + usage, "", "Options:"]
+    lines += [f"  {l:<{col}}{t}" for l, t in _REF_OPTS]
+    lines += ["", "Engine extensions (not in the reference CLI):"]
+    lines += [f"  {l:<{col}}{t}" for l, t in _EXT_OPTS]
+    return "\n".join(lines) + "\n"
+
 LICENCES = """
 distance_tpu is a from-scratch TPU-native implementation of the
 capabilities of `distance` (Copyright 2022, Ben Jackson, LGPL-2), built on
@@ -39,12 +121,11 @@ and Nei (1993) is rearranged according to ape's source code."""
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="distance",
-        description=(
-            "Calculate genetic distances within/between fasta-format"
-            " alignments of DNA sequences"
-        ),
+        description=ABOUT,
         usage=USAGE,
     )
+    # -h/--help renders the clap-4.5-shaped text (format_help above)
+    p.format_help = format_help
     p.add_argument(
         "-i", "--input", nargs="*", default=None,
         help=(

@@ -136,3 +136,20 @@ def test_errors_identical(rust_binary, tmp_path, content):
     ours, theirs = both(rust_binary, [str(f), "-m", "raw"])
     assert ours.returncode == theirs.returncode == 1
     assert ours.stderr == theirs.stderr
+
+
+def test_help_reference_section_identical(rust_binary):
+    """Our -h reproduces clap 4.5's rendering of the reference options;
+    everything above the engine-extensions section must match the Rust
+    binary's --help byte-for-byte."""
+    ours = subprocess.run(
+        [sys.executable, "-m", "distance_tpu.cli", "--help"],
+        capture_output=True,
+    )
+    theirs = subprocess.run([rust_binary, "--help"], capture_output=True)
+    assert ours.returncode == theirs.returncode == 0
+    prefix = ours.stdout.split(b"\nEngine extensions", 1)[0]
+    assert theirs.stdout.rstrip(b"\n").endswith(b"Print version")
+    assert theirs.stdout.startswith(prefix), (
+        prefix.decode(), theirs.stdout.decode()
+    )
