@@ -489,13 +489,16 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
 
 
 def _stream_group_rows(n1: int) -> int:
-    """Streamed records per device dispatch: target ~4M pairs per group
-    so per-dispatch latency amortizes, bounded for memory and so small
-    streams still pipeline.  DISTANCE_TPU_STREAM_GROUP overrides."""
+    """Streamed records per device dispatch: target ~16M pairs per group
+    so per-dispatch latency amortizes (high-latency relays charge ~1s
+    per request regardless of size), bounded at 8192 rows for HBM
+    feature temporaries.  DISTANCE_TPU_STREAM_GROUP overrides."""
     env = _os.environ.get("DISTANCE_TPU_STREAM_GROUP")
     if env:
         return max(1, int(env))
-    target = (4 << 20) // max(1, n1)
+    target = int(
+        _os.environ.get("DISTANCE_TPU_STREAM_GROUP_PAIRS", 16 << 20)
+    ) // max(1, n1)
     return max(DEV_BATCH_ROWS, min(8192, _pow2_at_least(target)))
 
 
@@ -1561,13 +1564,21 @@ def _run_stream(setup: Setup) -> None:
 
     pending: List[tuple] = []
     emitter = _AsyncEmitter()
+    # Dedicated dispatcher thread: encode + H2D + kernel enqueue cost
+    # seconds per request on high-latency relays; doing it off the main
+    # thread overlaps it with parse, fetch, and emission.  One thread
+    # keeps dispatch order (and the jit cache walk) deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    dispatcher = ThreadPoolExecutor(1)
 
     def flush_one() -> None:
-        g_ord, local_ord, ids2, bcounts, offs, handle, bn, redispatch = (
+        g_ord, local_ord, ids2, bcounts, offs, fut, bn, redispatch = (
             pending.pop(0)
         )
         with phase_timer("stream-fetch-wait"):
-            strip = _fetch_stream_batch(eng, handle, n1, bn, redispatch)
+            strip = _fetch_stream_batch(eng, fut.result(), n1, bn,
+                                        redispatch)
         # Emission: for each streamed record (outer), all loaded (inner)
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
         with phase_timer("stream-gather"):
@@ -1661,9 +1672,13 @@ def _run_stream(setup: Setup) -> None:
                 return eng.dispatch_stream(m1, padded, rows_pad, mode)
 
         with phase_timer("stream-dispatch"):
+            fut = dispatcher.submit(
+                lambda p=padded, rp=rows_pad: _AsyncFetch(
+                    dispatch(p, rp), axis=1
+                )
+            )
             pending.append(
-                (this_global, this_local, ids2, bcounts, offs,
-                 _AsyncFetch(dispatch(), axis=1), bn,
+                (this_global, this_local, ids2, bcounts, offs, fut, bn,
                  lambda mode, p=padded, rp=rows_pad: dispatch(p, rp, mode))
             )
         # Bounded in-flight groups (pipelining over dispatch latency).
@@ -1693,10 +1708,13 @@ def _run_stream(setup: Setup) -> None:
             emitter.finish()
         except Exception:
             pass  # the stream error is the one to report
+        finally:
+            dispatcher.shutdown(wait=False)
         raise
     dispatch_group()
     while pending:
         flush_one()
+    dispatcher.shutdown()
     emitter.finish()
 
 
