@@ -436,7 +436,9 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
     import jax
     import jax.numpy as jnp
 
-    from distance_tpu.ops.packing import pack_device, pack_device_narrow
+    from distance_tpu.ops.packing import (
+        pack_device, pack_device_narrow, pack_device_rel,
+    )
 
     plan = get_plan(measure)
     if backend == "pallas":
@@ -458,16 +460,32 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
         c = jax.lax.map(body, i0s)  # (S, G, ti, rows_pad)
         return jnp.moveaxis(c, 0, 1).reshape(-1, n1_pad, rows_pad)
 
-    def finish(c):
+    def finish(c, m1=None, y=None, ref=None):
+        if pack_mode == "rel":
+            # rank-1 baseline correction (ops/packing.py): residual
+            # lanes int8 + one small int32 baseline bundle
+            assert not sharded
+            ref2 = ref[None, :]
+            rb = kern(m1, ref2, plan)[:, :, 0]      # (G, n1_pad)
+            cb = kern(ref2, y, plan)[:, 0, :]       # (G, rows_pad)
+            cc = kern(ref2, ref2, plan)[:, 0, 0]    # (G,)
+            lanes = pack_device_rel(c, rb, cb, cc, jnp)
+            bases = jnp.concatenate(
+                [rb, cb, cc[:, None]], axis=1
+            )  # (G, n1_pad + rows_pad + 1) int32
+            return lanes, bases
         if pack_mode == "narrow":
             return pack_device_narrow(measure, c, width, jnp)
         if pack_mode == "wide":
             return pack_device(measure, c, jnp)
         return c
 
-    if cap is None:
+    if cap is None and pack_mode != "rel":
         def f(m1, y):
             return finish(sweep(m1, y))
+    elif cap is None:
+        def f(m1, ref, y):
+            return finish(sweep(m1, y), m1, y, ref)
     else:
         def f(m1, ref, idx, vals):
             base = jnp.broadcast_to(ref, (rows_pad, l_pad)).reshape(-1)
@@ -475,7 +493,7 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
                 vals, mode="drop", indices_are_sorted=True,
                 unique_indices=True,
             ).reshape(rows_pad, l_pad)
-            return finish(sweep(m1, y))
+            return finish(sweep(m1, y), m1, y, ref)
 
     if sharded:
         mesh = _device_mesh(rows_pad)
@@ -618,10 +636,10 @@ class _BlockEngine:
                         mode: Optional[str] = None):
         """Fused dispatch of one whole stream group: diff rebuild (when
         the batch is low-diversity) + every loaded strip + packing in a
-        single jitted call.  Returns a lazy (P, n1_pad, rows_pad) handle.
-        """
+        single jitted call.  Returns a lazy (P, n1_pad, rows_pad) handle
+        (a ``(lanes, bases)`` pair for the rel pack mode)."""
         if mode is None:
-            mode = self.pack_mode
+            mode = self.stream_pack_mode
         n1_pad, l_pad = m1.shape
         enc = (
             self.diff_up.encode(padded)
@@ -632,6 +650,8 @@ class _BlockEngine:
                 self.measure, self.backend, self.ti, rows_pad, n1_pad,
                 mode, self.width, l_pad, None, self.sharded,
             )
+            if mode == "rel":
+                return fn(m1, self.diff_up.ref_dev(), _chunked_h2d(padded))
             return fn(m1, _chunked_h2d(padded))
         idx, vals = enc
         fn = _jit_stream_fn(
@@ -647,6 +667,19 @@ class _BlockEngine:
         if self._overflow_streak >= NARROW_STICKY_LIMIT:
             return "wide"
         return "narrow"
+
+    @property
+    def stream_pack_mode(self) -> str:
+        """Pack mode for stream-group dispatches: rel (rank-1 baseline
+        residuals, diversity-independent int8 wire) whenever a reference
+        row exists, else the narrow/wide ladder."""
+        if (
+            self.diff_up is not None
+            and self.backend == "xla"
+            and not _os.environ.get("DISTANCE_TPU_NO_REL_PACK")
+        ):
+            return "rel"
+        return self.pack_mode
 
     def note_narrow(self, overflowed: bool) -> None:
         """Record a narrow-fetch outcome (drives the sticky-wide switch)."""
@@ -1673,8 +1706,8 @@ def _run_stream(setup: Setup) -> None:
 
         with phase_timer("stream-dispatch"):
             fut = dispatcher.submit(
-                lambda p=padded, rp=rows_pad: _AsyncFetch(
-                    dispatch(p, rp), axis=1
+                lambda p=padded, rp=rows_pad: _start_stream_fetch(
+                    dispatch(p, rp)
                 )
             )
             pending.append(
@@ -1718,9 +1751,41 @@ def _run_stream(setup: Setup) -> None:
     emitter.finish()
 
 
+def _start_stream_fetch(out):
+    """Eagerly start D2H for a stream-dispatch result (rel mode returns
+    a (lanes, bases) pair; everything else a single array)."""
+    if isinstance(out, tuple):
+        return (_AsyncFetch(out[0], axis=1), _AsyncFetch(out[1], axis=1))
+    return _AsyncFetch(out, axis=1)
+
+
 def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
                         valid_cols: int, redispatch) -> np.ndarray:
     """Chunked fetch of a streamed batch's (P, n1_pad, batch) counters."""
+    if isinstance(handle, tuple):
+        # rel pack: int8 residual lanes + one int32 baseline bundle.
+        # Crop to the valid region BEFORE the saturation check — padding
+        # rows carry out-of-range residuals by construction.
+        lanes = handle[0].result()
+        bases = handle[1].result()
+        m_pad, n_pad = lanes.shape[1], lanes.shape[2]
+        from distance_tpu.ops.packing import unpack_host_rel
+
+        counters = unpack_host_rel(
+            lanes[:, :valid_rows, :valid_cols],
+            bases[:, :valid_rows],
+            bases[:, m_pad:m_pad + valid_cols],
+            bases[:, -1],
+        )
+        if counters is not None:
+            return counters
+        wide = redispatch("wide" if eng.packed else "none")
+        arr = _chunked_d2h(wide, axis=1)[:, :valid_rows, :valid_cols]
+        if not eng.packed:
+            return arr
+        from distance_tpu.ops.packing import unpack_host
+
+        return unpack_host(eng.measure, arr)
     arr = handle.result() if isinstance(handle, _AsyncFetch) else handle
     if eng.backend == "numpy":
         return arr

@@ -117,6 +117,49 @@ def pack_device_narrow(measure: str, counters, width: int, xp):
     return xp.stack(lanes)
 
 
+# ---------------------------------------------------------------------------
+# Relative (rank-1 baseline) packing
+# ---------------------------------------------------------------------------
+#
+# Every counter is a sum over columns of f(x_col, y_col), so for any
+# reference row `ref`:
+#
+#     c(i, r) - c(i, ref) - c(ref, r) + c(ref, ref)
+#
+# accrues ONLY on columns where BOTH x_i and y_r differ from ref — the
+# overlap of two records' divergences, typically a handful of columns
+# even for very diverse data (E[overlap] = d_i * d_r / L).  The residual
+# therefore fits int8 regardless of diversity; shipping int8 residual
+# lanes plus the tiny per-row/per-column baseline vectors costs 1 byte
+# per counter per pair — the narrow-pack wire size without its
+# low-diversity assumption.
+
+REL_SAT = -128  # sentinel: residual out of [-127, 127] (wide refetch)
+
+
+def pack_device_rel(c, rb, cb, cc, xp):
+    """(G, m, n) int32 counters -> (G, m, n) int8 residual lanes.
+
+    ``rb``: (G, m) counters vs the reference row (c(i, ref));
+    ``cb``: (G, n) reference-vs-batch counters (c(ref, r));
+    ``cc``: (G,) the reference self-counter (c(ref, ref)).
+    """
+    res = c - rb[:, :, None] - cb[:, None, :] + cc[:, None, None]
+    sat = xp.abs(res) > 127
+    return xp.where(sat, REL_SAT, res).astype(xp.int8)
+
+
+def unpack_host_rel(
+    packed: np.ndarray, rb: np.ndarray, cb: np.ndarray, cc: np.ndarray
+) -> Optional[np.ndarray]:
+    """Residual lanes + baselines -> (G, m, n) int32 counters, or None
+    if any lane saturated (caller must refetch wide)."""
+    a = packed.astype(np.int32)
+    if (packed == REL_SAT).any():
+        return None
+    return a + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
+
+
 def unpack_host_narrow(
     measure: str, packed: np.ndarray, width: int
 ) -> Optional[np.ndarray]:

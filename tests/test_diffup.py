@@ -100,11 +100,53 @@ def test_rectangle_end_to_end_forced(monkeypatch):
 @pytest.mark.parametrize("measure", ["jc69", "tn93"])
 def test_stream_end_to_end_forced(measure, monkeypatch):
     f1, f2 = low_diversity_fastas(seed=23)
+    # a group size that does not divide the 8-device test mesh keeps the
+    # engine single-device, which is what enables diff uploads (sharded
+    # runs replicate the matrix instead)
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "12")
     monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
     got = run_engine(measure, f1, stream=f2, backend="xla", batchsize=4)[0]
     monkeypatch.delenv("DISTANCE_TPU_DIFF_UPLOAD")
     monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
     want = run_engine(measure, f1, stream=f2, backend="xla", batchsize=4)[0]
+    assert got == want
+
+
+@pytest.mark.parametrize("measure", ["n_high", "raw", "k80", "tn93"])
+def test_stream_rel_pack_diverse(measure, monkeypatch):
+    """rel packing end-to-end on DIVERSE data (narrow would saturate
+    every lane): single-device stream with a reference row, byte-equal
+    to the numpy backend."""
+    from tests.conftest import make_fasta, random_seqs
+
+    rng = np.random.default_rng(31)
+    # fully random sequences: pair diffs ~ 3/4 of width >> 255
+    f1 = make_fasta(random_seqs(rng, 10, 400, amb_frac=0.1))
+    f2 = make_fasta(random_seqs(rng, 23, 400, amb_frac=0.1))
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "12")
+    got = run_engine(measure, f1, stream=f2, backend="xla")[0]
+    want = run_engine(measure, f1, stream=f2, backend="numpy")[0]
+    assert got == want
+
+
+def test_stream_rel_pack_saturation_refetch(monkeypatch):
+    """A reference row that is garbage for half the batch drives rel
+    residuals past int8 -> the wide refetch path must keep exactness."""
+    import distance_tpu.ops.diffup as diffup
+    from tests.conftest import make_fasta, random_seqs
+
+    rng = np.random.default_rng(32)
+    f1 = make_fasta(random_seqs(rng, 8, 600, amb_frac=0.1))
+    f2 = make_fasta(random_seqs(rng, 17, 600, amb_frac=0.1))
+    # an adversarial reference: all-A, so residuals track full pair
+    # diversity and saturate
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "12")
+    monkeypatch.setattr(
+        diffup, "mode_row",
+        lambda m: np.full(m.shape[1], 136, dtype=np.uint8),
+    )
+    got = run_engine("raw", f1, stream=f2, backend="xla")[0]
+    want = run_engine("raw", f1, stream=f2, backend="numpy")[0]
     assert got == want
 
 

@@ -119,3 +119,26 @@ def test_sticky_wide_after_consecutive_overflows():
     for _ in range(NARROW_STICKY_LIMIT):
         eng.note_narrow(True)
     assert eng.pack_mode == "wide"
+
+
+def test_rel_pack_roundtrip_and_saturation():
+    from distance_tpu.ops.packing import (
+        REL_SAT, pack_device_rel, unpack_host_rel,
+    )
+
+    rng = np.random.default_rng(8)
+    G, m, n = 3, 5, 7
+    rb = rng.integers(0, 500, (G, m)).astype(np.int32)
+    cb = rng.integers(0, 500, (G, n)).astype(np.int32)
+    cc = rng.integers(0, 500, G).astype(np.int32)
+    res = rng.integers(-127, 128, (G, m, n)).astype(np.int32)
+    c = res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
+    lanes = pack_device_rel(c, rb, cb, cc, np)
+    assert lanes.dtype == np.int8
+    out = unpack_host_rel(lanes, rb, cb, cc)
+    assert np.array_equal(out, c)
+    # one out-of-range residual -> sentinel -> None
+    c[1, 2, 3] += 4000
+    lanes = pack_device_rel(c, rb, cb, cc, np)
+    assert lanes[1, 2, 3] == REL_SAT
+    assert unpack_host_rel(lanes, rb, cb, cc) is None

@@ -81,3 +81,24 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[0] == 2
+
+
+def test_engine_stream_shards_over_devices(monkeypatch):
+    """Stream mode with the xla backend on the 8-device mesh (fused
+    group dispatch, sharded columns) emits the exact single-device
+    bytes."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tests.conftest import make_fasta, random_seqs
+    from tests.test_golden import run_engine
+
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "16")
+    rng = np.random.default_rng(21)
+    f1 = make_fasta(random_seqs(rng, 18, 120, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 37, 120, amb_frac=0.2))
+    for measure in ("n_high", "tn93"):
+        got, _ = run_engine(measure, f1, stream=f2, backend="xla")
+        want, _ = run_engine(measure, f1, stream=f2, backend="numpy")
+        assert got == want, measure
