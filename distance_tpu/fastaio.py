@@ -11,6 +11,7 @@ Error messages reproduce the reference verbatim
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 from typing import BinaryIO, Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -340,6 +341,17 @@ def stream_fasta(
             " measure is n"
         )
 
+    if measure != "tn93" and not _os.environ.get("DISTANCE_TPU_NO_NATIVE"):
+        # GIL-releasing chunked C parse+encode (the tn93 path needs the
+        # raw bytes for its upper-case-only tally, so it stays Python)
+        from distance_tpu._native import get_lib
+
+        if get_lib() is not None:
+            yield from _stream_fasta_batches(
+                _stream_records_native(handle, width), width, batchsize
+            )
+            return
+
     ids: List[str] = []
     rows: List[np.ndarray] = []
     counts: List[np.ndarray] = []
@@ -384,6 +396,130 @@ def stream_fasta(
 
     if record_counter == 0:
         raise DistanceError(_err_empty_fasta())
+
+
+# Stream read granularity for the native chunked parser.
+STREAM_READ_BYTES = int(
+    _os.environ.get("DISTANCE_TPU_STREAM_READ", 8 << 20)
+)
+
+
+def _stream_fasta_batches(
+    records: Iterator[Tuple[str, np.ndarray]], width: int, batchsize: int
+) -> Iterator[StreamBatch]:
+    """Group a (id, encoded-row) iterator into StreamBatch messages at
+    the user's ``-b`` granularity (no tn93 tallies on this path)."""
+    ids: List[str] = []
+    rows: List[np.ndarray] = []
+    idx_counter = 0
+    record_counter = 0
+    for rid, codes in records:
+        record_counter += 1
+        ids.append(rid)
+        rows.append(codes)
+        if len(ids) == batchsize:
+            yield StreamBatch(
+                ids=ids, matrix=np.vstack(rows), base_counts=None,
+                idx=idx_counter,
+            )
+            idx_counter += 1
+            ids, rows = [], []
+    if ids:
+        yield StreamBatch(
+            ids=ids,
+            matrix=np.vstack(rows) if rows
+            else np.zeros((0, width), np.uint8),
+            base_counts=None, idx=idx_counter,
+        )
+    if record_counter == 0:
+        raise DistanceError(_err_empty_fasta())
+
+
+def _stream_records_native(
+    handle: BinaryIO, width: int
+) -> Iterator[Tuple[str, np.ndarray]]:
+    """Chunked C parse+encode of a streamed FASTA.
+
+    Reads ~STREAM_READ_BYTES at a time, cuts at the last record
+    boundary, and parses each piece with dt_parse_fasta_fill (GIL
+    released).  Any parse error re-runs the failing piece through the
+    Python per-record path so error ORDER matches the reference exactly
+    (streamed records check width before encoding, fastaio.rs:246-254 —
+    the C parser detects invalid bytes first)."""
+    import ctypes
+
+    from distance_tpu._native import get_lib
+
+    lib = get_lib()
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    carry = b""
+    eof = False
+    while not eof:
+        data = carry
+        carry = b""
+        # grow until the buffer holds at least one complete record
+        while True:
+            chunk = handle.read(STREAM_READ_BYTES)
+            if not chunk:
+                eof = True
+                break
+            data += chunk
+            cut = data.rfind(b"\n>")
+            if cut >= 0:
+                carry = data[cut + 1:]
+                data = data[:cut + 1]
+                break
+        if not data:
+            continue
+        max_records = data.count(b">")
+        if max_records == 0:
+            # junk/whitespace only: exact semantics from the Python path
+            yield from _stream_records_python_piece(data, width)
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8)
+        matrix = np.zeros((max_records, width), dtype=np.uint8)
+        ids_cap = len(data) + 16
+        ids_buf = ctypes.create_string_buffer(ids_cap)
+        descs_buf = ctypes.create_string_buffer(ids_cap)
+        id_offs = np.zeros(max_records + 1, dtype=np.int64)
+        desc_offs = np.zeros(max_records + 1, dtype=np.int64)
+        n_out = np.zeros(1, dtype=np.int64)
+        err_a = np.zeros(1, dtype=np.int64)
+        err_b = np.zeros(1, dtype=np.int64)
+        rc = lib.dt_parse_fasta_fill(
+            arr.ctypes.data_as(p_u8), len(data), width, max_records,
+            ENCODING.ctypes.data_as(p_u8),
+            matrix.ctypes.data_as(p_u8),
+            ids_buf, ids_cap, id_offs.ctypes.data_as(p_i64),
+            descs_buf, ids_cap, desc_offs.ctypes.data_as(p_i64),
+            n_out.ctypes.data_as(p_i64),
+            err_a.ctypes.data_as(p_i64), err_b.ctypes.data_as(p_i64),
+        )
+        if rc != 0:
+            # rare/terminal: replay this piece in Python for exact
+            # error text and ordering (it re-raises in every rc!=0 case)
+            yield from _stream_records_python_piece(data, width)
+            continue
+        n = int(n_out[0])
+        id_blob = ctypes.string_at(ids_buf, int(id_offs[n]))
+        for k in range(n):
+            rid = id_blob[id_offs[k]:id_offs[k + 1]].decode(
+                "utf-8", errors="replace"
+            )
+            yield rid, matrix[k]
+
+
+def _stream_records_python_piece(
+    data: bytes, width: int
+) -> Iterator[Tuple[str, np.ndarray]]:
+    import io as _io
+
+    for rid, _desc, seq in parse_fasta(_io.BytesIO(data)):
+        # streamed records check width BEFORE encoding (fastaio.rs:246-254)
+        if len(seq) != width:
+            raise DistanceError(_err_different_lengths(len(seq), width))
+        yield rid, encode_seq(rid, seq)
 
 
 # ---------------------------------------------------------------------------

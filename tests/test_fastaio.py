@@ -232,3 +232,42 @@ def test_nonend_whitespace_is_invalid_both_paths(data, badchar):
     with pytest.raises(DistanceError) as e2:
         _load_native(data)
     assert str(e1.value) == str(e2.value)
+
+
+def test_native_stream_reader_tiny_chunks(monkeypatch):
+    """The chunked native reader must split records correctly when the
+    read granularity is smaller than one record (carry across reads),
+    and match the Python reader batch-for-batch."""
+    import io
+
+    import distance_tpu.fastaio as fio
+
+    rng = np.random.default_rng(12)
+    from tests.conftest import make_fasta, random_seqs
+
+    fasta = make_fasta(random_seqs(rng, 25, 70, amb_frac=0.2))
+    monkeypatch.setattr(fio, "STREAM_READ_BYTES", 17)
+    native = list(fio.stream_fasta(io.BytesIO(fasta), 70, "raw", None, 3))
+    monkeypatch.setenv("DISTANCE_TPU_NO_NATIVE", "1")
+    python = list(fio.stream_fasta(io.BytesIO(fasta), 70, "raw", None, 3))
+    assert len(native) == len(python)
+    for a, b in zip(native, python):
+        assert a.ids == b.ids and a.idx == b.idx
+        assert np.array_equal(a.matrix, b.matrix)
+
+
+def test_native_stream_reader_error_order(monkeypatch):
+    """A streamed record that is both ragged and contains an invalid
+    byte reports the WIDTH error (checked before encoding,
+    fastaio.rs:246-254), on the native path too."""
+    import io
+
+    import distance_tpu.fastaio as fio
+
+    fasta = b">a\nACGT\n>bad\nACZ\n>c\nACGT\n"
+    it = fio.stream_fasta(io.BytesIO(fasta), 4, "raw", None, 1)
+    first = next(it)
+    assert first.ids == ["a"]
+    with pytest.raises(fio.DistanceError) as e:
+        list(it)
+    assert "Different length sequences" in str(e.value)
