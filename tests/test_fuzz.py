@@ -68,3 +68,32 @@ def test_stream_error_after_partial_output():
     # batch for s1 was emitted before the error surfaced
     assert "a\ts1\t0" in text
     assert "s2" not in text
+
+
+def stream_outcome(data, width, chunk=None, monkeypatch=None):
+    if chunk is not None:
+        monkeypatch.setattr(fio, "STREAM_READ_BYTES", chunk)
+    try:
+        batches = list(fio.stream_fasta(io.BytesIO(data), width, "raw",
+                                        None, 2))
+        return ("ok",
+                [b.ids for b in batches],
+                [b.matrix.tobytes() for b in batches])
+    except DistanceError as e:
+        return ("err", str(e))
+
+
+@pytest.mark.skipif(get_lib() is None, reason="no C toolchain")
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_stream_paths_agree(seed, monkeypatch):
+    """Native chunked stream reader == Python reader on random soup,
+    including at pathological read granularities (carry handling)."""
+    rng = np.random.default_rng(2000 + seed)
+    data = random_soup(rng, rng.integers(1, 120))
+    width = int(rng.integers(1, 8))
+    monkeypatch.delenv("DISTANCE_TPU_NO_NATIVE", raising=False)
+    nat = stream_outcome(data, width, chunk=int(rng.integers(3, 40)),
+                         monkeypatch=monkeypatch)
+    monkeypatch.setenv("DISTANCE_TPU_NO_NATIVE", "1")
+    py = stream_outcome(data, width)
+    assert py == nat, data
