@@ -389,7 +389,9 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
     import jax
     import jax.numpy as jnp
 
-    from distance_tpu.ops.packing import pack_device, pack_device_narrow
+    from distance_tpu.ops.packing import (
+        pack_device, pack_device_narrow, pack_device_rel,
+    )
 
     plan = get_plan(measure)
     if backend == "pallas":
@@ -397,21 +399,44 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
     else:
         from distance_tpu.ops.pairwise_xla import counters_xla as kern
 
-    def f(m1, m2, i0, j0):
-        x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
-        y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
-        c = kern(x, y, plan)
-        if pack_mode == "narrow":
-            return pack_device_narrow(measure, c, width, jnp)
-        if pack_mode == "wide":
-            return pack_device(measure, c, jnp)
-        return c
+    if pack_mode == "rel":
+        # rank-1 baseline residuals (ops/packing.py): per block, int8
+        # lanes + this block's column baselines + the strip-constant
+        # row baselines / self-counter (identical across a strip's
+        # blocks — the fetch uses any one copy)
+        def f(m1, m2, i0, j0, ref):
+            x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
+            y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
+            c = kern(x, y, plan)
+            ref2 = ref[None, :]
+            rb = kern(x, ref2, plan)[:, :, 0]     # (G, ti)
+            cb = kern(ref2, y, plan)[:, 0, :]     # (G, tj)
+            cc = kern(ref2, ref2, plan)[:, 0, 0]  # (G,)
+            lanes = pack_device_rel(c, rb, cb, cc, jnp)
+            rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
+            return lanes, cb, rb_cc
+    else:
+        def f(m1, m2, i0, j0):
+            x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
+            y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
+            c = kern(x, y, plan)
+            if pack_mode == "narrow":
+                return pack_device_narrow(measure, c, width, jnp)
+            if pack_mode == "wide":
+                return pack_device(measure, c, jnp)
+            return c
 
     if sharded:
         mesh = _device_mesh(tj)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if pack_mode == "rel":
+                return jax.jit(f, out_shardings=(
+                    NamedSharding(mesh, P(None, None, "dp")),
+                    NamedSharding(mesh, P(None, "dp")),
+                    NamedSharding(mesh, P(None, None)),
+                ))
             return jax.jit(
                 f,
                 out_shardings=NamedSharding(mesh, P(None, None, "dp")),
@@ -463,17 +488,14 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
     def finish(c, m1=None, y=None, ref=None):
         if pack_mode == "rel":
             # rank-1 baseline correction (ops/packing.py): residual
-            # lanes int8 + one small int32 baseline bundle
-            assert not sharded
+            # lanes int8 + two small int32 baseline arrays
             ref2 = ref[None, :]
             rb = kern(m1, ref2, plan)[:, :, 0]      # (G, n1_pad)
             cb = kern(ref2, y, plan)[:, 0, :]       # (G, rows_pad)
             cc = kern(ref2, ref2, plan)[:, 0, 0]    # (G,)
             lanes = pack_device_rel(c, rb, cb, cc, jnp)
-            bases = jnp.concatenate(
-                [rb, cb, cc[:, None]], axis=1
-            )  # (G, n1_pad + rows_pad + 1) int32
-            return lanes, bases
+            rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
+            return lanes, cb, rb_cc
         if pack_mode == "narrow":
             return pack_device_narrow(measure, c, width, jnp)
         if pack_mode == "wide":
@@ -500,6 +522,12 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if pack_mode == "rel":
+                return jax.jit(f, out_shardings=(
+                    NamedSharding(mesh, P(None, None, "dp")),
+                    NamedSharding(mesh, P(None, "dp")),
+                    NamedSharding(mesh, P(None, None)),
+                ))
             return jax.jit(
                 f, out_shardings=NamedSharding(mesh, P(None, None, "dp"))
             )
@@ -544,11 +572,16 @@ class _BlockEngine:
         self.sharded = backend == "xla" and _device_mesh(tj) is not None
         # Diff-encoded uploads (ops/diffup.py): set by prepare(diff_ref=)
         self.diff_up = None
+        # Reference row on device for rel packing (set by prepare)
+        self.rel_ref = None
         # Consecutive narrow-pack saturations; past the sticky limit the
-        # engine dispatches wide directly (diverse data overflows the
-        # 8-bit lanes every time — paying narrow + wide + an extra round
-        # trip per block is strictly worse than wide alone).
+        # engine escalates to rel packing (same wire size as narrow but
+        # diversity-independent), or wide when rel is unavailable or
+        # itself saturating — diverse data overflows the 8-bit lanes
+        # every time, and paying narrow + wide + an extra round trip per
+        # block is strictly worse than the next rung alone.
         self._overflow_streak = 0
+        self._rel_overflow_streak = 0
 
     def prepare(self, matrix: np.ndarray, max_block: int,
                 row_tile: Optional[int] = None,
@@ -593,6 +626,31 @@ class _BlockEngine:
             dev = self.diff_up.upload(padded)
         else:
             dev = _chunked_h2d(padded)
+        # Reference row for rel packing: reuse the diff-upload reference
+        # when present, else the per-column mode of a row sample.
+        if (
+            self.backend == "xla" and self.packed and n
+            and not _os.environ.get("DISTANCE_TPU_NO_REL_PACK")
+        ):
+            if self.diff_up is not None:
+                self.rel_ref = self.diff_up.ref_dev()
+            else:
+                from distance_tpu.ops.diffup import mode_row
+
+                step = max(1, n // 4096)
+                refp = np.zeros(l_pad, dtype=np.uint8)
+                refp[:width] = mode_row(
+                    np.ascontiguousarray(matrix[::step][:4096])
+                )
+                if self.sharded:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    mesh = _device_mesh(self.tj)
+                    self.rel_ref = jax.device_put(
+                        refp, NamedSharding(mesh, P(None))
+                    )
+                else:
+                    self.rel_ref = jnp.asarray(refp)
         # Warm up the device->host path once: on some transports the very
         # first D2H in a process can stall for minutes; a tiny transfer
         # here absorbs that.
@@ -601,7 +659,8 @@ class _BlockEngine:
 
     def block(self, m1, m2, i0: int, j0: int, ti: int, tj: int,
               mode: Optional[str] = None):
-        """Dispatch one (ti, tj) counter block; returns a lazy handle."""
+        """Dispatch one (ti, tj) counter block; returns a lazy handle
+        (a (lanes, cb, rb_cc) triple under rel packing)."""
         if self.backend == "numpy":
             x = m1[i0 : i0 + ti]
             y = m2[j0 : j0 + tj]
@@ -610,6 +669,8 @@ class _BlockEngine:
             mode = self.pack_mode
         fn = _jit_block_fn(self.measure, self.backend, ti, tj, mode,
                            self.width, self.sharded and tj == self.tj)
+        if mode == "rel":
+            return fn(m1, m2, i0, j0, self.rel_ref)
         return fn(m1, m2, i0, j0)
 
     def diff_ref_for(self, source: np.ndarray) -> Optional[np.ndarray]:
@@ -651,39 +712,51 @@ class _BlockEngine:
                 mode, self.width, l_pad, None, self.sharded,
             )
             if mode == "rel":
-                return fn(m1, self.diff_up.ref_dev(), _chunked_h2d(padded))
+                return fn(m1, self.rel_ref, _chunked_h2d(padded))
             return fn(m1, _chunked_h2d(padded))
         idx, vals = enc
         fn = _jit_stream_fn(
             self.measure, self.backend, self.ti, rows_pad, n1_pad,
             mode, self.width, l_pad, int(idx.shape[0]), self.sharded,
         )
-        return fn(m1, self.diff_up.ref_dev(), idx, vals)
+        return fn(m1, self.rel_ref if mode == "rel" else
+                  self.diff_up.ref_dev(), idx, vals)
+
+    @property
+    def _rel_usable(self) -> bool:
+        return (
+            self.rel_ref is not None
+            and self._rel_overflow_streak < NARROW_STICKY_LIMIT
+        )
 
     @property
     def pack_mode(self) -> str:
+        """Escalation ladder: narrow -> (saturations) -> rel ->
+        (saturations) -> wide."""
         if self.backend == "numpy" or not self.packed:
             return "none"
         if self._overflow_streak >= NARROW_STICKY_LIMIT:
-            return "wide"
+            return "rel" if self._rel_usable else "wide"
         return "narrow"
 
     @property
     def stream_pack_mode(self) -> str:
-        """Pack mode for stream-group dispatches: rel (rank-1 baseline
-        residuals, diversity-independent int8 wire) whenever a reference
-        row exists, else the narrow/wide ladder."""
-        if (
-            self.diff_up is not None
-            and self.backend == "xla"
-            and not _os.environ.get("DISTANCE_TPU_NO_REL_PACK")
-        ):
+        """Pack mode for stream-group dispatches: straight to rel
+        (rank-1 baseline residuals — diversity-independent int8 wire at
+        narrow's byte size) when a reference row exists, else the
+        narrow/wide ladder."""
+        if self._rel_usable:
             return "rel"
         return self.pack_mode
 
     def note_narrow(self, overflowed: bool) -> None:
-        """Record a narrow-fetch outcome (drives the sticky-wide switch)."""
+        """Record a narrow-fetch outcome (drives the sticky escalation)."""
         self._overflow_streak = self._overflow_streak + 1 if overflowed else 0
+
+    def note_rel(self, saturated: bool) -> None:
+        self._rel_overflow_streak = (
+            self._rel_overflow_streak + 1 if saturated else 0
+        )
 
     def to_host(self, handle) -> np.ndarray:
         """Synchronously materialize a dispatched block on host (used for
@@ -1046,10 +1119,17 @@ def _chunk_slices(handle, axis: int):
 
 class _AsyncFetch:
     """Device->host transfer of one strip, started eagerly in background
-    threads (chunked).  ``result()`` blocks and reassembles."""
+    threads (chunked).  ``result()`` blocks and reassembles.  A tuple
+    handle (rel packing) fetches each part and returns a tuple."""
 
     def __init__(self, handle, axis: int = -1):
         self.axis = axis
+        self._parts = None
+        if isinstance(handle, tuple):
+            self._parts = [_AsyncFetch(h, axis) for h in handle]
+            self._arr = None
+            self.futures = None
+            return
         if isinstance(handle, np.ndarray):
             self._arr = handle
             self.futures = None
@@ -1060,7 +1140,9 @@ class _AsyncFetch:
             pool.submit(np.asarray, p) for p in _chunk_slices(handle, axis)
         ]
 
-    def result(self) -> np.ndarray:
+    def result(self):
+        if self._parts is not None:
+            return tuple(p.result() for p in self._parts)
         if self._arr is not None:
             return self._arr
         arrs = [f.result() for f in self.futures]
@@ -1103,7 +1185,9 @@ def _chunked_h2d(arr: np.ndarray):
 def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
                     mode: Optional[str] = None):
     """Dispatch all column blocks of one strip; device-concat the packed
-    outputs into a single (P, ti, span) handle (one logical transfer)."""
+    outputs into a single (P, ti, span) handle (one logical transfer).
+    rel-packed blocks yield (lanes, cb, rb_cc) triples: lanes/cb concat
+    along the column axis, rb_cc is strip-constant (first copy kept)."""
     handles = [
         eng.block(m1, m2, i0, j0, ti, tj, mode) for j0 in col_starts
     ]
@@ -1111,6 +1195,14 @@ def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
         return np.concatenate(handles, axis=-1)
     import jax.numpy as jnp
 
+    if isinstance(handles[0], tuple):
+        if len(handles) == 1:
+            return handles[0]
+        return (
+            jnp.concatenate([h[0] for h in handles], axis=-1),
+            jnp.concatenate([h[1] for h in handles], axis=-1),
+            handles[0][2],
+        )
     return jnp.concatenate(handles, axis=-1) if len(handles) > 1 else handles[0]
 
 
@@ -1130,11 +1222,23 @@ def _fetch_strip(
     padding rows/columns saturate by construction and are ignored.
     """
     arr = handle.result() if isinstance(handle, _AsyncFetch) else (
-        handle if isinstance(handle, np.ndarray)
+        handle if isinstance(handle, (np.ndarray, tuple))
         else _chunked_d2h(handle, axis=-1)
     )
     if eng.backend == "numpy":
         return arr
+    if isinstance(arr, tuple):
+        # rel pack (lanes, cb, rb_cc); possibly still device arrays
+        lanes, cb, rb_cc = (
+            a if isinstance(a, np.ndarray) else np.asarray(a) for a in arr
+        )
+        vr = lanes.shape[1] if valid_rows is None else valid_rows
+        vc = lanes.shape[2] if valid_cols is None else valid_cols
+        counters = _unpack_rel_parts(eng, lanes, cb, rb_cc, vr, vc)
+        eng.note_rel(counters is None)
+        if counters is not None:
+            return counters
+        return _rel_wide_refetch(eng, redispatch, vr, vc, -1)
     vr = arr.shape[1] if valid_rows is None else valid_rows
     vc = arr.shape[2] if valid_cols is None else valid_cols
     arr = arr[:, :vr, :vc]
@@ -1753,39 +1857,47 @@ def _run_stream(setup: Setup) -> None:
 
 def _start_stream_fetch(out):
     """Eagerly start D2H for a stream-dispatch result (rel mode returns
-    a (lanes, bases) pair; everything else a single array)."""
+    a (lanes, cb, rb_cc) triple; everything else a single array)."""
     if isinstance(out, tuple):
-        return (_AsyncFetch(out[0], axis=1), _AsyncFetch(out[1], axis=1))
+        return tuple(_AsyncFetch(h, axis=1) for h in out)
     return _AsyncFetch(out, axis=1)
+
+
+def _unpack_rel_parts(eng: _BlockEngine, lanes: np.ndarray, cb: np.ndarray,
+                      rb_cc: np.ndarray, vr: int, vc: int):
+    """Crop a rel-packed (lanes, cb, rb_cc) fetch to the valid region
+    (padding rows/cols carry out-of-range residuals by construction) and
+    reconstruct int32 counters, or None on lane saturation."""
+    from distance_tpu.ops.packing import unpack_host_rel
+
+    return unpack_host_rel(
+        lanes[:, :vr, :vc], rb_cc[:, :vr], cb[:, :vc], rb_cc[:, -1]
+    )
+
+
+def _rel_wide_refetch(eng: _BlockEngine, redispatch, vr: int, vc: int,
+                      axis: int) -> np.ndarray:
+    wide = redispatch("wide" if eng.packed else "none")
+    arr = _chunked_d2h(wide, axis=axis)[:, :vr, :vc]
+    if not eng.packed:
+        return arr
+    from distance_tpu.ops.packing import unpack_host
+
+    return unpack_host(eng.measure, arr)
 
 
 def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
                         valid_cols: int, redispatch) -> np.ndarray:
     """Chunked fetch of a streamed batch's (P, n1_pad, batch) counters."""
     if isinstance(handle, tuple):
-        # rel pack: int8 residual lanes + one int32 baseline bundle.
-        # Crop to the valid region BEFORE the saturation check — padding
-        # rows carry out-of-range residuals by construction.
-        lanes = handle[0].result()
-        bases = handle[1].result()
-        m_pad, n_pad = lanes.shape[1], lanes.shape[2]
-        from distance_tpu.ops.packing import unpack_host_rel
-
-        counters = unpack_host_rel(
-            lanes[:, :valid_rows, :valid_cols],
-            bases[:, :valid_rows],
-            bases[:, m_pad:m_pad + valid_cols],
-            bases[:, -1],
+        lanes, cb, rb_cc = (h.result() for h in handle)
+        counters = _unpack_rel_parts(
+            eng, lanes, cb, rb_cc, valid_rows, valid_cols
         )
+        eng.note_rel(counters is None)
         if counters is not None:
             return counters
-        wide = redispatch("wide" if eng.packed else "none")
-        arr = _chunked_d2h(wide, axis=1)[:, :valid_rows, :valid_cols]
-        if not eng.packed:
-            return arr
-        from distance_tpu.ops.packing import unpack_host
-
-        return unpack_host(eng.measure, arr)
+        return _rel_wide_refetch(eng, redispatch, valid_rows, valid_cols, 1)
     arr = handle.result() if isinstance(handle, _AsyncFetch) else handle
     if eng.backend == "numpy":
         return arr

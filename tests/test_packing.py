@@ -103,10 +103,10 @@ def test_engine_packed_blocks_match_unpacked():
         assert got == expected_square(measure, fasta), measure
 
 
-def test_sticky_wide_after_consecutive_overflows():
-    """After NARROW_STICKY_LIMIT consecutive saturations the engine
-    dispatches wide directly (no narrow + refetch double round trip);
-    a successful narrow fetch resets the streak."""
+def test_sticky_escalation_ladder():
+    """Narrow saturations escalate to rel (when a reference row exists)
+    and rel saturations escalate to wide; a clean fetch resets the
+    narrow streak."""
     from distance_tpu.engine import NARROW_STICKY_LIMIT, _BlockEngine
 
     eng = _BlockEngine("raw", "xla", 8, 8, width=600)
@@ -118,7 +118,15 @@ def test_sticky_wide_after_consecutive_overflows():
     assert eng.pack_mode == "narrow"
     for _ in range(NARROW_STICKY_LIMIT):
         eng.note_narrow(True)
+    # no reference row -> wide
     assert eng.pack_mode == "wide"
+    eng.rel_ref = object()  # any device ref
+    assert eng.pack_mode == "rel"
+    assert eng.stream_pack_mode == "rel"
+    for _ in range(NARROW_STICKY_LIMIT):
+        eng.note_rel(True)
+    assert eng.pack_mode == "wide"
+    assert eng.stream_pack_mode == "wide"
 
 
 def test_rel_pack_roundtrip_and_saturation():
@@ -142,3 +150,46 @@ def test_rel_pack_roundtrip_and_saturation():
     lanes = pack_device_rel(c, rb, cb, cc, np)
     assert lanes[1, 2, 3] == REL_SAT
     assert unpack_host_rel(lanes, rb, cb, cc) is None
+
+
+def test_engine_square_rel_pack_exact(monkeypatch):
+    """Force the square sweep onto rel packing (single device via an
+    indivisible tile_j, narrow streak pre-saturated) — bytes must match
+    the oracle on diverse data."""
+    import distance_tpu.engine as engine
+    from tests.test_golden import expected_square, run_engine
+
+    monkeypatch.setattr(engine, "NARROW_STICKY_LIMIT", 1)
+    rng = np.random.default_rng(55)
+    width = 600
+    base1 = rng.choice(list("AG"), size=width)
+    base2 = rng.choice(list("CT"), size=width)
+    recs = []
+    for i in range(9):
+        src = base1 if i % 2 == 0 else base2
+        s = src.copy()
+        for p in rng.choice(width, 5, replace=False):
+            s[p] = rng.choice(list("ACGTN"))
+        recs.append((f"s{i}", "".join(s)))
+    fasta = ("".join(f">{r}\n{s}\n" for r, s in recs)).encode()
+    for measure in MEASURES:
+        got, _ = run_engine(measure, fasta, backend="xla",
+                            tile_i=4, tile_j=6)
+        assert got == expected_square(measure, fasta), measure
+
+
+def test_engine_rect_rel_pack_exact(monkeypatch):
+    """Rectangle sweep through the rel ladder (both matrices prepared
+    on one engine; the shared reference row is exact for any ref)."""
+    import distance_tpu.engine as engine
+    from tests.conftest import make_fasta, random_seqs
+    from tests.test_golden import expected_rect, run_engine
+
+    monkeypatch.setattr(engine, "NARROW_STICKY_LIMIT", 1)
+    rng = np.random.default_rng(56)
+    f1 = make_fasta(random_seqs(rng, 9, 300, amb_frac=0.15))
+    f2 = make_fasta(random_seqs(rng, 7, 300, amb_frac=0.15))
+    for measure in ("raw", "k80", "tn93"):
+        got, _ = run_engine(measure, f1, fasta2=f2, backend="xla",
+                            tile_i=4, tile_j=6)
+        assert got == expected_rect(measure, f1, f2), measure
