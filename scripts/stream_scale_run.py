@@ -119,14 +119,20 @@ def main():
             "-s", stream_fa, "-m", "n_high", "--backend", backend,
             "--resume", "-o", out]
 
-    kill_after = float(os.environ.get("SCALE_KILL_AFTER_S", 240))
-    print(f"[stream-scale] phase 1: run until t={kill_after:.0f}s, kill",
-          file=sys.stderr)
-    rc, peak1, s1 = run_child(argv, env, out, kill_after_s=kill_after)
-    assert rc is None, f"finished before the kill point (rc={rc})"
-    size_at_kill = os.path.getsize(out) if os.path.exists(out) else 0
-    print(f"[stream-scale] killed at {size_at_kill/1e9:.2f} GB output,"
-          f" peak RSS {peak1:.1f} GB", file=sys.stderr)
+    if os.environ.get("SCALE_SKIP_KILL"):
+        # clean completion-to-completion measurement (kill+resume was
+        # validated by the recorded runs; killing a relay client leaves
+        # queued transfers poisoning the link for everyone)
+        size_at_kill, peak1 = 0, 0.0
+    else:
+        kill_after = float(os.environ.get("SCALE_KILL_AFTER_S", 240))
+        print(f"[stream-scale] phase 1: run until t={kill_after:.0f}s,"
+              " kill", file=sys.stderr)
+        rc, peak1, s1 = run_child(argv, env, out, kill_after_s=kill_after)
+        assert rc is None, f"finished before the kill point (rc={rc})"
+        size_at_kill = os.path.getsize(out) if os.path.exists(out) else 0
+        print(f"[stream-scale] killed at {size_at_kill/1e9:.2f} GB output,"
+              f" peak RSS {peak1:.1f} GB", file=sys.stderr)
 
     print("[stream-scale] phase 2: --resume to completion", file=sys.stderr)
     t0 = time.time()
