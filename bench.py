@@ -229,6 +229,9 @@ def main():
         jax.config.update("jax_platforms", plat)
     import jax
 
+    from distance_tpu.utils.jitcache import enable_jit_cache
+
+    enable_jit_cache()
     on_tpu = jax.default_backend() != "cpu"
     backend = os.environ.get("BENCH_BACKEND", "xla")
     ti = int(os.environ.get("BENCH_TILE_I", "1024" if on_tpu else "256"))

@@ -256,6 +256,9 @@ def main(argv=None) -> int:
         except Exception:
             pass
     args = build_parser().parse_args(argv)
+    from distance_tpu.utils.jitcache import enable_jit_cache
+
+    enable_jit_cache()
     if args.licenses:
         print(LICENCES)
         return 0
