@@ -374,7 +374,7 @@ def _device_mesh(n_blocks: int):
 @functools.lru_cache(maxsize=None)
 def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
                   pack_mode: str = "none", width: int = 0,
-                  sharded: bool = False):
+                  sharded: bool = False, diag_mask: bool = False):
     """Jitted (mat1, mat2, i0, j0) -> counter block.
 
     ``pack_mode``: "none" -> (G, ti, tj) int32; "wide"/"narrow" -> the
@@ -412,7 +412,16 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
             rb = kern(x, ref2, plan)[:, :, 0]     # (G, ti)
             cb = kern(ref2, y, plan)[:, 0, :]     # (G, tj)
             cc = kern(ref2, ref2, plan)[:, 0, 0]  # (G,)
-            lanes = pack_device_rel(c, rb, cb, cc, jnp)
+            mask = None
+            if diag_mask:
+                # square sweep over one matrix: (i0+k, j0+l) with equal
+                # global indices are self-pairs — never emitted, and
+                # their residual (-2*rb) saturates for any record >63
+                # counts from the reference
+                ri = jnp.arange(ti) + i0
+                cj = jnp.arange(tj) + j0
+                mask = ri[:, None] == cj[None, :]
+            lanes = pack_device_rel(c, rb, cb, cc, jnp, mask)
             rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
             return lanes, cb, rb_cc
     else:
@@ -627,9 +636,13 @@ class _BlockEngine:
         else:
             dev = _chunked_h2d(padded)
         # Reference row for rel packing: reuse the diff-upload reference
-        # when present, else the per-column mode of a row sample.
+        # when present, else the per-column mode of a row sample.  Rel
+        # residuals are width-independent (they accrue only on columns
+        # where both records diverge from the reference), so this is NOT
+        # gated on self.packed: at unpacked widths (>= 2^16 sites) rel is
+        # the only sub-int32 wire format available (4x smaller).
         if (
-            self.backend == "xla" and self.packed and n
+            self.backend == "xla" and width > 0 and n
             and not _os.environ.get("DISTANCE_TPU_NO_REL_PACK")
         ):
             if self.diff_up is not None:
@@ -668,7 +681,8 @@ class _BlockEngine:
         if mode is None:
             mode = self.pack_mode
         fn = _jit_block_fn(self.measure, self.backend, ti, tj, mode,
-                           self.width, self.sharded and tj == self.tj)
+                           self.width, self.sharded and tj == self.tj,
+                           diag_mask=(mode == "rel" and m1 is m2))
         if mode == "rel":
             return fn(m1, m2, i0, j0, self.rel_ref)
         return fn(m1, m2, i0, j0)
@@ -732,9 +746,13 @@ class _BlockEngine:
     @property
     def pack_mode(self) -> str:
         """Escalation ladder: narrow -> (saturations) -> rel ->
-        (saturations) -> wide."""
-        if self.backend == "numpy" or not self.packed:
+        (saturations) -> wide.  Unpacked widths (>= 2^16 sites) have no
+        narrow/wide rungs — 16-bit lanes can't hold the counters — so
+        the ladder there is rel -> (saturations) -> none (raw int32)."""
+        if self.backend == "numpy":
             return "none"
+        if not self.packed:
+            return "rel" if self._rel_usable else "none"
         if self._overflow_streak >= NARROW_STICKY_LIMIT:
             return "rel" if self._rel_usable else "wide"
         return "narrow"

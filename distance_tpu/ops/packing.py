@@ -137,14 +137,21 @@ def pack_device_narrow(measure: str, counters, width: int, xp):
 REL_SAT = -128  # sentinel: residual out of [-127, 127] (wide refetch)
 
 
-def pack_device_rel(c, rb, cb, cc, xp):
+def pack_device_rel(c, rb, cb, cc, xp, mask=None):
     """(G, m, n) int32 counters -> (G, m, n) int8 residual lanes.
 
     ``rb``: (G, m) counters vs the reference row (c(i, ref));
     ``cb``: (G, n) reference-vs-batch counters (c(ref, r));
     ``cc``: (G,) the reference self-counter (c(ref, ref)).
+    ``mask``: optional (m, n) bool of cells to exclude from the
+    saturation check (their lanes are zeroed).  Square sweeps pass the
+    self-pair diagonal: c(i, i) has residual -2*c(i, ref), which would
+    saturate for any record >63 counts from the reference even though
+    self-pairs are never emitted.
     """
     res = c - rb[:, :, None] - cb[:, None, :] + cc[:, None, None]
+    if mask is not None:
+        res = xp.where(mask[None, :, :], 0, res)
     sat = xp.abs(res) > 127
     return xp.where(sat, REL_SAT, res).astype(xp.int8)
 

@@ -193,3 +193,98 @@ def test_engine_rect_rel_pack_exact(monkeypatch):
         got, _ = run_engine(measure, f1, fasta2=f2, backend="xla",
                             tile_i=4, tile_j=6)
         assert got == expected_rect(measure, f1, f2), measure
+
+
+def test_unpacked_width_ladder_is_rel_then_none():
+    """At widths >= PACK_LIMIT there are no narrow/wide rungs; the
+    ladder is rel (when a reference exists) -> none (raw int32)."""
+    from distance_tpu.engine import NARROW_STICKY_LIMIT, _BlockEngine
+
+    eng = _BlockEngine("raw", "xla", 8, 8, width=PACK_LIMIT + 100)
+    assert not eng.packed
+    assert eng.pack_mode == "none"  # no reference row yet
+    eng.rel_ref = object()
+    assert eng.pack_mode == "rel"
+    assert eng.stream_pack_mode == "rel"
+    for _ in range(NARROW_STICKY_LIMIT):
+        eng.note_rel(True)
+    assert eng.pack_mode == "none"
+    assert eng.stream_pack_mode == "none"
+
+
+def _wide_private_fasta(n, per_record):
+    """Alignment whose VARIANT width (what the engine sweeps after
+    invariant-column pruning) is n*per_record: each record mutates its
+    own private column block of a shared ancestor.  Pairwise divergence
+    overlaps are empty, so rel residuals are exactly representable."""
+    rng = np.random.default_rng(57)
+    width = n * per_record + 96
+    ancestor = rng.choice(list("ACGT"), size=width)
+    nxt = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    recs = []
+    for i in range(n):
+        s = ancestor.copy()
+        for p in range(i * per_record, (i + 1) * per_record):
+            s[p] = nxt[s[p]]
+        recs.append((f"s{i}", "".join(s)))
+    return ("".join(f">{r}\n{q}\n" for r, q in recs)).encode()
+
+
+def _count_rel_unpacks(monkeypatch):
+    from distance_tpu.ops import packing
+
+    outcomes = []
+    real = packing.unpack_host_rel
+
+    def counting(*a, **kw):
+        out = real(*a, **kw)
+        outcomes.append(out is not None)
+        return out
+
+    monkeypatch.setattr(packing, "unpack_host_rel", counting)
+    return outcomes
+
+
+def test_engine_square_rel_pack_unpacked_width(monkeypatch):
+    """Rel packing at an unpacked VARIANT width (>= 2^16 sweep columns,
+    where narrow/wide lanes can't hold the counters): prepare() installs
+    a reference row, blocks travel as int8 residual lanes (asserted via
+    a counting unpack wrapper), and bytes match the oracle."""
+    from distance_tpu.engine import _BlockEngine
+    from tests.test_golden import expected_square, run_engine
+
+    n, per_record = 24, 2800
+    f1 = _wide_private_fasta(n, per_record)  # 67200 variant columns
+
+    eng = _BlockEngine("raw", "xla", 4, 8, width=n * per_record)
+    assert not eng.packed
+    eng.prepare(np.zeros((n, n * per_record), np.uint8), max_block=8)
+    assert eng.rel_ref is not None
+    assert eng.pack_mode == "rel"
+
+    outcomes = _count_rel_unpacks(monkeypatch)
+    for measure in ("n_high", "raw", "tn93"):
+        got, _ = run_engine(measure, f1, backend="xla", tile_i=4, tile_j=6)
+        assert got == expected_square(measure, f1), measure
+    assert outcomes and all(outcomes)
+
+
+def test_engine_square_rel_saturation_unpacked_width(monkeypatch):
+    """Fully random records overlap the reference divergences on far
+    more than 127 columns at this width, so rel blocks saturate; the
+    refetch rung at unpacked widths is raw int32 ("none") and bytes
+    still match the oracle."""
+    from tests.test_golden import expected_square, run_engine
+
+    rng = np.random.default_rng(58)
+    width = PACK_LIMIT + 2048
+    recs = []
+    for i in range(5):  # uniform random: variant width stays >= PACK_LIMIT
+        s = "".join(rng.choice(list("ACGT"), size=width))
+        recs.append(f">s{i}\n{s}\n")
+    f1 = "".join(recs).encode()
+
+    outcomes = _count_rel_unpacks(monkeypatch)
+    got, _ = run_engine("raw", f1, backend="xla", tile_i=4, tile_j=6)
+    assert got == expected_square("raw", f1)
+    assert outcomes and not any(outcomes)
