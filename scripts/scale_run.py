@@ -10,6 +10,10 @@ Defaults: 100000 x 29904, 1.5 GB HBM budget (forces the blocked sweep
 for the 3 GB packed matrix).  Needs ~90 GB free disk for the TSV; the
 output is validated (row count + random row spot checks vs the oracle)
 and deleted at the end.  Progress + phase logs go to stderr.
+
+Env knobs: SCALE_MEASURE (default n_high), SCALE_SKIP_KILL (skip the
+kill+resume phase for a clean completion-to-completion measurement),
+SCALE_KILL_AFTER_S, SCALE_DIR.
 """
 
 import os
@@ -73,16 +77,38 @@ def run_child(args, env, out_path, kill_after_s=None):
     return child.returncode, peak, samples
 
 
+def _oracle(measure):
+    """(row-pair -> formatted string) oracle for spot checks."""
+    from distance_tpu import measures
+    from distance_tpu.writer import format_float
+
+    if measure in ("n", "n_high"):
+        return lambda a, b: str(measures.snp(a, b))
+    if measure == "tn93":
+        from distance_tpu.encoding import A, C, G, T
+
+        def counts(row):
+            return tuple(int((row == v).sum()) for v in (A, T, G, C))
+
+        return lambda a, b: format_float(
+            float(measures.tn93(a, b, counts(a), counts(b)))
+        )
+    fn = getattr(measures, measure)
+    return lambda a, b: format_float(float(fn(a, b)))
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     width = int(sys.argv[2]) if len(sys.argv) > 2 else 29_904
     budget = int(sys.argv[3]) if len(sys.argv) > 3 else 1_500_000_000
+    measure = os.environ.get("SCALE_MEASURE", "n_high")
     work = os.environ.get("SCALE_DIR", "/tmp/scale_run")
     os.makedirs(work, exist_ok=True)
     fasta = os.path.join(work, "big.fasta")
     out = os.path.join(work, "out.tsv")
 
     mat = write_fasta(fasta, n, width)
+    value_of = _oracle(measure)
 
     env = dict(
         os.environ,
@@ -90,19 +116,25 @@ def main():
         DISTANCE_TPU_PROGRESS="1",
     )
     argv = [sys.executable, "-m", "distance_tpu.cli", fasta, "-m",
-            "n_high", "--backend", "xla", "--resume", "-o", out]
+            measure, "--backend", "xla", "--resume", "-o", out]
 
-    kill_after = float(os.environ.get("SCALE_KILL_AFTER_S", 300))
-    print(f"[scale] phase 1: run until t={kill_after:.0f}s, then kill",
-          file=sys.stderr)
-    rc, peak1, s1 = run_child(argv, env, out, kill_after_s=kill_after)
-    assert rc is None, f"finished before the kill point (rc={rc})"
-    if not os.path.exists(out + ".progress"):
-        print("[scale] warning: killed before the first checkpoint;"
-              " phase 2 restarts from scratch", file=sys.stderr)
-    size_at_kill = os.path.getsize(out) if os.path.exists(out) else 0
-    print(f"[scale] killed at {size_at_kill/1e9:.2f} GB output,"
-          f" peak RSS {peak1:.1f} GB", file=sys.stderr)
+    if os.environ.get("SCALE_SKIP_KILL"):
+        # clean completion-to-completion measurement (kill+resume was
+        # validated by the recorded runs; killing a relay client leaves
+        # queued transfers poisoning the link for everyone)
+        size_at_kill, peak1 = 0, 0.0
+    else:
+        kill_after = float(os.environ.get("SCALE_KILL_AFTER_S", 300))
+        print(f"[scale] phase 1: run until t={kill_after:.0f}s, then kill",
+              file=sys.stderr)
+        rc, peak1, s1 = run_child(argv, env, out, kill_after_s=kill_after)
+        assert rc is None, f"finished before the kill point (rc={rc})"
+        if not os.path.exists(out + ".progress"):
+            print("[scale] warning: killed before the first checkpoint;"
+                  " phase 2 restarts from scratch", file=sys.stderr)
+        size_at_kill = os.path.getsize(out) if os.path.exists(out) else 0
+        print(f"[scale] killed at {size_at_kill/1e9:.2f} GB output,"
+              f" peak RSS {peak1:.1f} GB", file=sys.stderr)
 
     print("[scale] phase 2: --resume to completion", file=sys.stderr)
     t0 = time.time()
@@ -126,7 +158,6 @@ def main():
     print("[scale] validating", file=sys.stderr)
     import mmap
 
-    from distance_tpu import measures
     with open(out, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         header_end = mm.find(b"\n") + 1
@@ -138,7 +169,7 @@ def main():
             end = mm.find(b"\n", pos)
             sid1, sid2, val = mm[pos:end].decode().split("\t")
             assert (sid1, sid2) == ("s0", f"s{j}"), (sid1, sid2, j)
-            assert int(val) == measures.snp(mat[0], mat[j])
+            assert val == value_of(mat[0], mat[j]), (j, val)
             pos = end + 1
             checked += 1
         # random byte offsets: parse the row found there, verify value
@@ -152,7 +183,7 @@ def main():
                 continue
             sid1, sid2, val = mm[pos:end].decode().split("\t")
             i, j = int(sid1[1:]), int(sid2[1:])
-            assert int(val) == measures.snp(mat[i], mat[j]), (i, j, val)
+            assert val == value_of(mat[i], mat[j]), (i, j, val)
             checked += 1
         # total line count via byte statistics is unreliable; count
         # newlines in chunks
@@ -167,6 +198,7 @@ def main():
     result = {
         "n_seqs": n,
         "width": width,
+        "measure": measure,
         "total_pairs": total_pairs,
         "output_gb": round(total_bytes / 1e9, 2),
         "sustained_pairs_per_s": round(sustained, 1),
