@@ -78,6 +78,34 @@ def cpu_baseline_pairs_per_s(mat, width, budget_s=2.0):
     return per_core * 64.0
 
 
+def drain_relay(max_wait_s: float) -> None:
+    """Wait out a backed-up device relay before measuring.
+
+    The relay can hold a deep queue of transfers abandoned by killed
+    clients; the first touch then stalls minutes (observed up to ~14 min)
+    while it drains.  Loop tiny round-trips until two consecutive ones
+    come back fast, so the real probe and the measured run start against
+    a drained link.  Budget-bounded: a still-degraded link just proceeds
+    (probe_link will size the run down).
+    """
+    import jax.numpy as jnp
+
+    x = np.zeros((64, 1024), dtype=np.int8)  # 64 KB
+    t_start = time.perf_counter()
+    streak = 0
+    while time.perf_counter() - t_start < max_wait_s:
+        t0 = time.perf_counter()
+        np.asarray(jnp.sum(jnp.asarray(x).astype(jnp.int32)))
+        dt = time.perf_counter() - t0
+        streak = streak + 1 if dt < 2.0 else 0
+        if streak >= 2:
+            return
+        print(f"[bench] relay drain: settle {dt:.1f}s"
+              f" (waited {time.perf_counter() - t_start:.0f}s)",
+              file=sys.stderr)
+        time.sleep(min(20.0, max(2.0, dt / 2)))
+
+
 def probe_link():
     """Relay health probe: H2D settle + warm D2H rate for a small buffer.
 
@@ -245,6 +273,7 @@ def main():
 
     link = None
     if on_tpu:
+        drain_relay(float(os.environ.get("BENCH_DRAIN_S", "900")))
         settle, warm = probe_link()
         link = {"settle_4mb_s": round(settle, 1),
                 "warm_d2h_mb_s": round(warm, 1)}
