@@ -341,6 +341,10 @@ def _counters_numpy(x: np.ndarray, y: np.ndarray, plan: CounterPlan) -> np.ndarr
     """Exact NumPy fallback of the counter GEMM (small problems, tests)."""
     fx = features_device(x, plan, "f", np, np.int32)  # (R, m, L)
     gy = features_device(y, plan, "g", np, np.int32)
+    if plan.mix_num is not None:
+        o = np.einsum("rml,rnl->rmn", fx, gy)
+        c = np.tensordot(plan.mix_num, o, axes=([1], [0]))
+        return (c // plan.mix_den[:, None, None]).astype(np.int32)
     outs = []
     for name in plan.counters:
         lo, hi = plan.slice_of(name)

@@ -51,12 +51,45 @@ Each channel is specified as a (sign, primitive) pair, evaluated either
 over ``np.arange(256)`` to produce host LUTs or symbolically over a device
 array of codes (bitwise VPU ops — no gathers on the TPU hot path).  Both
 evaluations share one definition, so they agree by construction.
+
+Shared-channel plans (k80, tn93).  Each counter above is individually
+rank-minimal (channels == rank of its 17x17 code-pair weight matrix), but
+a measure's counters can SHARE rank-1 terms: with the +/- base pairings
+
+    R = eA + eG,  R' = eA - eG,  Y = eC + eT,  Y' = eC - eT
+
+the polarization identity  (u+w)@(u+w) + (u-w)@(u-w) = 2(u@u + w@w)
+gives, writing O_F for the per-pair GEMM of channel F@F:
+
+    2*same = O_R + O_R' + O_Y + O_Y'
+    2*p1   = O_R - O_R'          2*p2 = O_Y - O_Y'
+    2*ts   = O_R - O_R' + O_Y - O_Y'             (ts == p1 + p2)
+    2*tv   = O_(pur+pyr) - O_(pur-pyr)
+      kk   = O_kn
+
+so k80 = {same, ts, tv} needs 6 channels instead of 4+4+2 = 10, and tn93
+= {same, kk, p1, p2} needs 5 instead of 4+1+2+2 = 9.  Every factor still
+takes values in {-1, 0, 1} (int8-exact on the MXU) and every numerator is
+even per site, so integer division by 2 after accumulation is exact —
+including under site-sharding ("sp" psum).  These counts are optimal:
+
+* k80: 6 == the rank of the horizontally stacked [W_same | W_ts | W_tv]
+  (a lower bound on shared terms), met constructively above.
+* tn93: restricted to the 4-dim exact-base space its slices are I (same),
+  J (kk), and the two block swaps (p1, p2); J and a swap do not commute,
+  so no 4-term simultaneous diagonalization exists — 5 is minimal.
+* raw/jc69 (diff+same, 18 channels) provably cannot be improved by
+  sharing: the pencil invariant M = U^+ W_same V^+ (U V^T a rank-14
+  factorization of W_diff) is nilpotent with rank(M) = 4, M^2 = 0, i.e.
+  four 2-Jordan blocks; by Ja'Ja's pencil-rank theorem the pair needs
+  14 + 4 = 18 rank-1 terms — exactly what the per-counter plan uses.
+* n/n_high use the single counter ``diff`` at its exact rank 14.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -101,6 +134,17 @@ def eval_prim(prim: Prim, v, xp=np):
     elif kind == "disj":
         # disjointness table row: [hi(v) & arg == 0], gated on valid
         out = (((v >> 4) & arg) == 0) * (v != 0)
+    elif kind == "esum":
+        # signed sum of two exact-base indicators: e_{b1} + s * e_{b2}
+        b1, b2, s = arg
+        out = eval_prim(("exact", b1), v, xp) + s * eval_prim(
+            ("exact", b2), v, xp
+        )
+    elif kind == "ppsum":
+        # purine-set +/- pyrimidine-set indicator (k80 tv polarization)
+        out = eval_prim(("pur", 0), v, xp) + arg * eval_prim(
+            ("pyr", 0), v, xp
+        )
     else:
         raise ValueError(f"unknown primitive {kind!r}")
     if xp is np:
@@ -129,9 +173,41 @@ COUNTER_CHANNELS: Dict[str, List[Channel]] = {
     "p2": [(1, _EC, _ET), (1, _ET, _EC)],
 }
 
+# Shared-channel plans (see module docstring): the measure's counters are
+# integer mixes of a smaller shared channel set — counter_g =
+# (sum_k num[g][k] * O_k) / den[g], with O_k the per-pair GEMM of channel
+# k.  Factors stay in {-1, 0, 1}; every numerator is even per site.
+_R, _RP = ("esum", (0, 1, 1)), ("esum", (0, 1, -1))
+_Y, _YP = ("esum", (2, 3, 1)), ("esum", (2, 3, -1))
+_SPP, _DPP = ("ppsum", 1), ("ppsum", -1)
+_KN = ("known", 0)
+
+SHARED_MEASURE_CHANNELS: Dict[str, Tuple[List[Channel], Dict[str, Tuple[Tuple[int, ...], int]]]] = {
+    "k80": (
+        [(1, _R, _R), (1, _RP, _RP), (1, _Y, _Y), (1, _YP, _YP),
+         (1, _SPP, _SPP), (1, _DPP, _DPP)],
+        {
+            "same": ((1, 1, 1, 1, 0, 0), 2),
+            "ts": ((1, -1, 1, -1, 0, 0), 2),
+            "tv": ((0, 0, 0, 0, 1, -1), 2),
+        },
+    ),
+    "tn93": (
+        [(1, _KN, _KN), (1, _R, _R), (1, _RP, _RP), (1, _Y, _Y),
+         (1, _YP, _YP)],
+        {
+            "same": ((0, 1, 1, 1, 1), 2),
+            "kk": ((2, 0, 0, 0, 0), 2),
+            "p1": ((0, 1, -1, 0, 0), 2),
+            "p2": ((0, 0, 0, 1, -1), 2),
+        },
+    ),
+}
+
 
 def counter_luts(name: str) -> Tuple[np.ndarray, np.ndarray]:
-    """(r, 256) int8 LUT pair (f_luts, g_luts) for one counter."""
+    """(r, 256) int8 LUT pair (f_luts, g_luts) for one counter (its
+    canonical per-counter decomposition, independent of plan sharing)."""
     v = np.arange(256, dtype=np.uint8)
     f_rows, g_rows = [], []
     for sign, f_prim, g_prim in COUNTER_CHANNELS[name]:
@@ -144,9 +220,13 @@ def counter_luts(name: str) -> Tuple[np.ndarray, np.ndarray]:
 class CounterPlan:
     """Stacked feature channels for one measure's counter set.
 
-    ``channels`` lists every (sign, f_prim, g_prim) in order; ``slices``
-    maps counter name -> (start, stop) channel range.  ``f_luts``/
-    ``g_luts`` are the (R, 256) int8 host tables for the LUT path.
+    ``channels`` lists every (sign, f_prim, g_prim) in order.  For
+    per-counter plans ``slices`` maps counter name -> (start, stop)
+    channel range and ``mix_num``/``mix_den`` are None; for
+    shared-channel plans ``slices`` is empty and counter g is
+    ``(mix_num[g] . O) // mix_den[g]`` over the per-channel GEMMs O.
+    ``f_luts``/``g_luts`` are the (R, 256) int8 host tables for the LUT
+    path.
     """
 
     measure: str
@@ -155,10 +235,22 @@ class CounterPlan:
     f_luts: np.ndarray
     g_luts: np.ndarray
     slices: Tuple[Tuple[str, int, int], ...]
+    mix_num: Optional[np.ndarray] = None  # (G, R) int32
+    mix_den: Optional[np.ndarray] = None  # (G,) int32
 
     @property
     def total_channels(self) -> int:
         return len(self.channels)
+
+    @property
+    def max_group_channels(self) -> int:
+        """Largest channel count contracted into one accumulator — the
+        f32-exactness bound is this times the alignment width."""
+        if self.mix_num is not None:
+            # per-channel GEMMs accumulate one channel each; the integer
+            # mix afterwards scales the bound by the weight row sums
+            return int(np.abs(self.mix_num).sum(axis=1).max())
+        return max(hi - lo for _, lo, hi in self.slices)
 
     def slice_of(self, name: str) -> Tuple[int, int]:
         for n, lo, hi in self.slices:
@@ -170,10 +262,44 @@ class CounterPlan:
 _PLAN_CACHE: Dict[str, CounterPlan] = {}
 
 
+def _luts_for(channels: List[Channel]) -> Tuple[np.ndarray, np.ndarray]:
+    v = np.arange(256, dtype=np.uint8)
+    f_rows, g_rows = [], []
+    for sign, f_prim, g_prim in channels:
+        f_rows.append(
+            (sign * eval_prim(f_prim, v).astype(np.int16)).astype(np.int8)
+        )
+        g_rows.append(eval_prim(g_prim, v))
+    return np.stack(f_rows), np.stack(g_rows)
+
+
 def get_plan(measure: str) -> CounterPlan:
     if measure not in _PLAN_CACHE:
+        import os
+
         counters = MEASURE_COUNTERS[measure]
-        channels: List[Channel] = []
+        shared = SHARED_MEASURE_CHANNELS.get(measure)
+        if shared is not None and not os.environ.get(
+            "DISTANCE_TPU_NO_SHARED_PLAN"
+        ):
+            channels, mix = shared
+            f_luts, g_luts = _luts_for(channels)
+            _PLAN_CACHE[measure] = CounterPlan(
+                measure=measure,
+                counters=counters,
+                channels=tuple(channels),
+                f_luts=f_luts,
+                g_luts=g_luts,
+                slices=(),
+                mix_num=np.array(
+                    [mix[name][0] for name in counters], dtype=np.int32
+                ),
+                mix_den=np.array(
+                    [mix[name][1] for name in counters], dtype=np.int32
+                ),
+            )
+            return _PLAN_CACHE[measure]
+        channels = []
         f_parts, g_parts = [], []
         slices = []
         pos = 0

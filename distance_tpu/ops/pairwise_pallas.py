@@ -76,6 +76,15 @@ def _eval_prim_i32(prim, v32):
         return (((v32 >> 4) & arg) == 0).astype(jnp.int32) * (
             v32 != 0
         ).astype(jnp.int32)
+    if kind == "esum":
+        b1, b2, s = arg
+        return _eval_prim_i32(("exact", b1), v32) + s * _eval_prim_i32(
+            ("exact", b2), v32
+        )
+    if kind == "ppsum":
+        return _eval_prim_i32(("pur", 0), v32) + arg * _eval_prim_i32(
+            ("pyr", 0), v32
+        )
     raise ValueError(f"unknown primitive {kind!r}")
 
 
@@ -102,6 +111,36 @@ def _kernel(x_ref, y_ref, *out_refs, plan: CounterPlan, dtype, prefer):
     s = pl.program_id(2)
     fx = _features(x_ref[:], plan, "f", dtype)  # list of (TI, TS)
     gy = _features(y_ref[:], plan, "g", dtype)  # list of (TJ, TS)
+    if plan.mix_num is not None:
+        # Shared-channel plan: per-channel dots, then the integer mix.
+        # Numerators accumulate across site tiles; the exact // happens
+        # outside the kernel (counters_pallas).
+        dots = [
+            jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=prefer,
+            )
+            for a, b in zip(fx, gy)
+        ]
+        for gi in range(len(plan.counters)):
+            acc = None
+            for k, d in enumerate(dots):
+                w = int(plan.mix_num[gi, k])
+                if w == 0:
+                    continue
+                term = d if w == 1 else (-d if w == -1 else w * d)
+                acc = term if acc is None else acc + term
+            out_ref = out_refs[gi]
+
+            @pl.when(s == 0)
+            def _init(acc=acc, out_ref=out_ref):
+                out_ref[:] = acc
+
+            @pl.when(s != 0)
+            def _accum(acc=acc, out_ref=out_ref):
+                out_ref[:] = out_ref[:] + acc
+        return
     for gi, name in enumerate(plan.counters):
         lo, hi = plan.slice_of(name)
         acc = None
@@ -171,12 +210,11 @@ def counters_pallas(
         # Same exactness bound as counters_xla: f32 partial sums must
         # stay below 2^24 (products in {-1, 0, 1}, summed over
         # channels * sites per counter).
-        max_chans = max(hi - lo for _, lo, hi in plan.slices)
-        if max_chans * l_pad >= 1 << 24:
+        if plan.max_group_channels * l_pad >= 1 << 24:
             raise ValueError(
                 "float accumulation would lose integer exactness for "
-                f"width {l_pad} x {max_chans} channels; use the "
-                "default int8 dtype"
+                f"width {l_pad} x {plan.max_group_channels} channels;"
+                " use the default int8 dtype"
             )
     kernel = functools.partial(_kernel, plan=plan, dtype=dtype, prefer=prefer)
     out_shapes = tuple(
@@ -196,4 +234,9 @@ def counters_pallas(
         out_shape=out_shapes,
         interpret=interpret,
     )(x_codes, y_codes)
-    return jnp.stack(outs).astype(jnp.int32)
+    c = jnp.stack(outs).astype(jnp.int32)
+    if plan.mix_num is not None:
+        # shared-channel plans accumulate mix numerators in-kernel;
+        # the division is exact (numerators are even per site)
+        c = c // jnp.asarray(plan.mix_den)[:, None, None]
+    return c

@@ -44,15 +44,29 @@ def counters_xla(
         # Float accumulation is exact only while every partial sum stays
         # below 2^24 (products are in {-1, 0, 1}; a counter's magnitude
         # is bounded by channels * L).  The int8/int32 path has no bound.
-        max_chans = max(hi - lo for _, lo, hi in plan.slices)
-        if max_chans * x_codes.shape[1] >= 1 << 24:
+        if plan.max_group_channels * x_codes.shape[1] >= 1 << 24:
             raise ValueError(
                 "float accumulation would lose integer exactness for "
-                f"width {x_codes.shape[1]} x {max_chans} channels; use "
-                "the default int8 dtype"
+                f"width {x_codes.shape[1]} x {plan.max_group_channels}"
+                " channels; use the default int8 dtype"
             )
     fx = features_device(x_codes, plan, "f", jnp, dtype)  # (R, m, L)
     gy = features_device(y_codes, plan, "g", jnp, dtype)  # (R, n, L)
+    if plan.mix_num is not None:
+        # Shared-channel plan: one batched GEMM over sites gives the
+        # per-channel pair sums O (R, m, n); counters are exact integer
+        # mixes (numerators are even per site, so // is exact — also
+        # per site-shard under "sp" psum).
+        o = jax.lax.dot_general(
+            fx,
+            gy,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=prefer,
+        ).astype(jnp.int32)
+        num = jnp.asarray(plan.mix_num)  # (G, R)
+        den = jnp.asarray(plan.mix_den)[:, None, None]
+        c = jnp.tensordot(num, o, axes=([1], [0]))
+        return c // den
     outs = []
     for name in plan.counters:
         lo, hi = plan.slice_of(name)

@@ -56,8 +56,55 @@ def test_plan_slices(measure):
     plan = get_plan(measure)
     assert plan.counters == MEASURE_COUNTERS[measure]
     assert plan.f_luts.shape == (plan.total_channels, 256)
-    total = sum(hi - lo for _, lo, hi in plan.slices)
-    assert total == plan.total_channels
+    if plan.mix_num is not None:
+        # shared-channel plan: one weight row per counter, exact mixes
+        assert plan.slices == ()
+        assert plan.mix_num.shape == (
+            len(plan.counters), plan.total_channels,
+        )
+        assert plan.mix_den.shape == (len(plan.counters),)
+        assert (plan.mix_den > 0).all()
+    else:
+        total = sum(hi - lo for _, lo, hi in plan.slices)
+        assert total == plan.total_channels
+
+
+def test_shared_plans_match_counter_matrices():
+    """Shared-channel plans (k80: 6 channels, tn93: 5) must reproduce each
+    counter's exact 256x256 weight matrix: (mix_num . f^T g) / mix_den ==
+    the canonical per-counter decomposition, for every byte pair."""
+    from distance_tpu.ops.features import SHARED_MEASURE_CHANNELS
+
+    for measure, (channels, _) in SHARED_MEASURE_CHANNELS.items():
+        plan = get_plan(measure)
+        assert plan.mix_num is not None
+        assert plan.total_channels == len(channels)
+        o = np.einsum(
+            "rx,ry->rxy",
+            plan.f_luts.astype(np.int64),
+            plan.g_luts.astype(np.int64),
+        )
+        mixed = np.tensordot(plan.mix_num, o, axes=([1], [0]))
+        # numerators must be exactly divisible (per byte pair)
+        assert (mixed % plan.mix_den[:, None, None] == 0).all(), measure
+        mixed = mixed // plan.mix_den[:, None, None]
+        for g, name in enumerate(plan.counters):
+            assert np.array_equal(
+                mixed[g], reference_counter_matrix(name).astype(np.int64)
+            ), (measure, name)
+
+
+def test_shared_plan_channel_counts_and_bounds():
+    """k80 = 6 shared channels, tn93 = 5 (both proven minimal — see the
+    features.py docstring); factors stay in {-1, 0, 1} over every byte
+    the encoder can produce (the 17 valid codes plus padding 0)."""
+    assert get_plan("k80").total_channels == 6
+    assert get_plan("tn93").total_channels == 5
+    cols = np.concatenate([[0], ALL_CODES]).astype(np.int64)
+    for measure in ("k80", "tn93"):
+        plan = get_plan(measure)
+        assert set(np.unique(plan.f_luts[:, cols])) <= {-1, 0, 1}
+        assert set(np.unique(plan.g_luts[:, cols])) <= {-1, 0, 1}
 
 
 @pytest.mark.parametrize("measure", MEASURES)
