@@ -394,7 +394,7 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
     import jax.numpy as jnp
 
     from distance_tpu.ops.packing import (
-        pack_device, pack_device_narrow, pack_device_rel,
+        pack_device, pack_device_narrow, pack_device_rel, pack_device_rel4,
     )
 
     plan = get_plan(measure)
@@ -403,11 +403,14 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
     else:
         from distance_tpu.ops.pairwise_xla import counters_xla as kern
 
-    if pack_mode == "rel":
+    if pack_mode in ("rel", "rel4"):
         # rank-1 baseline residuals (ops/packing.py): per block, int8
-        # lanes + this block's column baselines + the strip-constant
-        # row baselines / self-counter (identical across a strip's
-        # blocks — the fetch uses any one copy)
+        # lanes (two 4-bit lanes per byte under rel4) + this block's
+        # column baselines + the strip-constant row baselines /
+        # self-counter (identical across a strip's blocks — the fetch
+        # uses any one copy)
+        pack_rel = pack_device_rel4 if pack_mode == "rel4" else pack_device_rel
+
         def f(m1, m2, i0, j0, ref):
             x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
             y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
@@ -425,7 +428,7 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
                 ri = jnp.arange(ti) + i0
                 cj = jnp.arange(tj) + j0
                 mask = ri[:, None] == cj[None, :]
-            lanes = pack_device_rel(c, rb, cb, cc, jnp, mask)
+            lanes = pack_rel(c, rb, cb, cc, jnp, mask)
             rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
             return lanes, cb, rb_cc
     else:
@@ -444,7 +447,7 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if pack_mode == "rel":
+            if pack_mode in ("rel", "rel4"):
                 return jax.jit(f, out_shardings=(
                     NamedSharding(mesh, P(None, None, "dp")),
                     NamedSharding(mesh, P(None, "dp")),
@@ -475,7 +478,7 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
     import jax.numpy as jnp
 
     from distance_tpu.ops.packing import (
-        pack_device, pack_device_narrow, pack_device_rel,
+        pack_device, pack_device_narrow, pack_device_rel, pack_device_rel4,
     )
 
     plan = get_plan(measure)
@@ -499,14 +502,18 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
         return jnp.moveaxis(c, 0, 1).reshape(-1, n1_pad, rows_pad)
 
     def finish(c, m1=None, y=None, ref=None):
-        if pack_mode == "rel":
+        if pack_mode in ("rel", "rel4"):
             # rank-1 baseline correction (ops/packing.py): residual
-            # lanes int8 + two small int32 baseline arrays
+            # lanes int8 (4-bit pairs under rel4) + two small int32
+            # baseline arrays
+            pack_rel = (
+                pack_device_rel4 if pack_mode == "rel4" else pack_device_rel
+            )
             ref2 = ref[None, :]
             rb = kern(m1, ref2, plan)[:, :, 0]      # (G, n1_pad)
             cb = kern(ref2, y, plan)[:, 0, :]       # (G, rows_pad)
             cc = kern(ref2, ref2, plan)[:, 0, 0]    # (G,)
-            lanes = pack_device_rel(c, rb, cb, cc, jnp)
+            lanes = pack_rel(c, rb, cb, cc, jnp)
             rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
             return lanes, cb, rb_cc
         if pack_mode == "narrow":
@@ -515,7 +522,7 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
             return pack_device(measure, c, jnp)
         return c
 
-    if cap is None and pack_mode != "rel":
+    if cap is None and pack_mode not in ("rel", "rel4"):
         def f(m1, y):
             return finish(sweep(m1, y))
     elif cap is None:
@@ -535,7 +542,7 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if pack_mode == "rel":
+            if pack_mode in ("rel", "rel4"):
                 return jax.jit(f, out_shardings=(
                     NamedSharding(mesh, P(None, None, "dp")),
                     NamedSharding(mesh, P(None, "dp")),
@@ -583,6 +590,14 @@ class _BlockEngine:
         # Multi-chip pair-data parallelism (xla backend): replicate the
         # matrix, shard each block's column axis across the device mesh.
         self.sharded = backend == "xla" and _device_mesh(tj) is not None
+        # rel4 halves the lanes' column axis; under GSPMD that halved
+        # axis must still divide the device count or pjit rejects the
+        # output sharding — fall to the int8 rel rung otherwise.
+        self._rel4_shard_ok = True
+        if self.sharded:
+            import jax
+
+            self._rel4_shard_ok = (tj // 2) % jax.device_count() == 0
         # Diff-encoded uploads (ops/diffup.py): set by prepare(diff_ref=)
         self.diff_up = None
         # Reference row on device for rel packing (set by prepare)
@@ -595,6 +610,7 @@ class _BlockEngine:
         # block is strictly worse than the next rung alone.
         self._overflow_streak = 0
         self._rel_overflow_streak = 0
+        self._rel4_overflow_streak = 0
 
     def prepare(self, matrix: np.ndarray, max_block: int,
                 row_tile: Optional[int] = None,
@@ -686,8 +702,8 @@ class _BlockEngine:
             mode = self.pack_mode
         fn = _jit_block_fn(self.measure, self.backend, ti, tj, mode,
                            self.width, self.sharded and tj == self.tj,
-                           diag_mask=(mode == "rel" and m1 is m2))
-        if mode == "rel":
+                           diag_mask=(mode in ("rel", "rel4") and m1 is m2))
+        if mode in ("rel", "rel4"):
             return fn(m1, m2, i0, j0, self.rel_ref)
         return fn(m1, m2, i0, j0)
 
@@ -729,7 +745,7 @@ class _BlockEngine:
                 self.measure, self.backend, self.ti, rows_pad, n1_pad,
                 mode, self.width, l_pad, None, self.sharded,
             )
-            if mode == "rel":
+            if mode in ("rel", "rel4"):
                 return fn(m1, self.rel_ref, _chunked_h2d(padded))
             return fn(m1, _chunked_h2d(padded))
         idx, vals = enc
@@ -737,7 +753,7 @@ class _BlockEngine:
             self.measure, self.backend, self.ti, rows_pad, n1_pad,
             mode, self.width, l_pad, int(idx.shape[0]), self.sharded,
         )
-        return fn(m1, self.rel_ref if mode == "rel" else
+        return fn(m1, self.rel_ref if mode in ("rel", "rel4") else
                   self.diff_up.ref_dev(), idx, vals)
 
     @property
@@ -748,27 +764,36 @@ class _BlockEngine:
         )
 
     @property
+    def _rel4_usable(self) -> bool:
+        return (
+            self.rel_ref is not None
+            and self._rel4_shard_ok
+            and self._rel4_overflow_streak < NARROW_STICKY_LIMIT
+        )
+
+    @property
     def pack_mode(self) -> str:
-        """Escalation ladder: narrow -> (saturations) -> rel ->
-        (saturations) -> wide.  Unpacked widths (>= 2^16 sites) have no
-        narrow/wide rungs — 16-bit lanes can't hold the counters — so
-        the ladder there is rel -> (saturations) -> none (raw int32)."""
+        """Escalation ladder: rel4 (4-bit residuals, half of every other
+        rung's bytes) -> (saturations) -> rel -> (saturations) ->
+        narrow/wide (packed widths) or none (>= 2^16 sites, where 16-bit
+        lanes can't hold the counters).  Without a reference row the
+        ladder is the historical narrow -> (saturations) -> wide."""
         if self.backend == "numpy":
             return "none"
+        if self._rel4_usable:
+            return "rel4"
+        if self._rel_usable:
+            return "rel"
         if not self.packed:
-            return "rel" if self._rel_usable else "none"
+            return "none"
         if self._overflow_streak >= NARROW_STICKY_LIMIT:
-            return "rel" if self._rel_usable else "wide"
+            return "wide"
         return "narrow"
 
     @property
     def stream_pack_mode(self) -> str:
-        """Pack mode for stream-group dispatches: straight to rel
-        (rank-1 baseline residuals — diversity-independent int8 wire at
-        narrow's byte size) when a reference row exists, else the
-        narrow/wide ladder."""
-        if self._rel_usable:
-            return "rel"
+        """Pack mode for stream-group dispatches (same ladder; rel rungs
+        are diversity-independent and narrow-or-better in bytes)."""
         return self.pack_mode
 
     def note_narrow(self, overflowed: bool) -> None:
@@ -778,6 +803,11 @@ class _BlockEngine:
     def note_rel(self, saturated: bool) -> None:
         self._rel_overflow_streak = (
             self._rel_overflow_streak + 1 if saturated else 0
+        )
+
+    def note_rel4(self, saturated: bool) -> None:
+        self._rel4_overflow_streak = (
+            self._rel4_overflow_streak + 1 if saturated else 0
         )
 
     def to_host(self, handle) -> np.ndarray:
@@ -1256,8 +1286,8 @@ def _fetch_strip(
         )
         vr = lanes.shape[1] if valid_rows is None else valid_rows
         vc = lanes.shape[2] if valid_cols is None else valid_cols
-        counters = _unpack_rel_parts(eng, lanes, cb, rb_cc, vr, vc)
-        eng.note_rel(counters is None)
+        counters, was4 = _unpack_rel_parts(eng, lanes, cb, rb_cc, vr, vc)
+        (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:
             return counters
         return _rel_wide_refetch(eng, redispatch, vr, vc, -1)
@@ -1889,11 +1919,21 @@ def _unpack_rel_parts(eng: _BlockEngine, lanes: np.ndarray, cb: np.ndarray,
                       rb_cc: np.ndarray, vr: int, vc: int):
     """Crop a rel-packed (lanes, cb, rb_cc) fetch to the valid region
     (padding rows/cols carry out-of-range residuals by construction) and
-    reconstruct int32 counters, or None on lane saturation."""
-    from distance_tpu.ops.packing import unpack_host_rel
+    reconstruct int32 counters.  Returns (counters_or_None, was_rel4);
+    counters is None on lane saturation.  rel4 lanes are recognized by
+    their halved column axis and expanded before the crop so padding
+    nibbles never trip the saturation check."""
+    from distance_tpu.ops.packing import (
+        finish_host_rel4, unpack_host_rel, unpack_rel4_nibbles,
+    )
 
-    return unpack_host_rel(
-        lanes[:, :vr, :vc], rb_cc[:, :vr], cb[:, :vc], rb_cc[:, -1]
+    rb, cc = rb_cc[:, :vr], rb_cc[:, -1]
+    if lanes.shape[-1] != cb.shape[-1]:
+        res = unpack_rel4_nibbles(lanes[:, :vr])[:, :, :vc]
+        return finish_host_rel4(res, rb, cb[:, :vc], cc), True
+    return (
+        unpack_host_rel(lanes[:, :vr, :vc], rb, cb[:, :vc], cc),
+        False,
     )
 
 
@@ -1913,10 +1953,10 @@ def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
     """Chunked fetch of a streamed batch's (P, n1_pad, batch) counters."""
     if isinstance(handle, tuple):
         lanes, cb, rb_cc = (h.result() for h in handle)
-        counters = _unpack_rel_parts(
+        counters, was4 = _unpack_rel_parts(
             eng, lanes, cb, rb_cc, valid_rows, valid_cols
         )
-        eng.note_rel(counters is None)
+        (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:
             return counters
         return _rel_wide_refetch(eng, redispatch, valid_rows, valid_cols, 1)

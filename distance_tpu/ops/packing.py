@@ -135,6 +135,7 @@ def pack_device_narrow(measure: str, counters, width: int, xp):
 # low-diversity assumption.
 
 REL_SAT = -128  # sentinel: residual out of [-127, 127] (wide refetch)
+REL4_SAT = -8   # nibble sentinel: residual out of [-7, 7]
 
 
 def pack_device_rel(c, rb, cb, cc, xp, mask=None):
@@ -165,6 +166,50 @@ def unpack_host_rel(
     if (packed == REL_SAT).any():
         return None
     return a + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
+
+
+def pack_device_rel4(c, rb, cb, cc, xp, mask=None):
+    """Rank-1 residuals packed two per byte: (G, m, n) int32 counters ->
+    (G, m, n/2) int8 of 4-bit two's-complement lanes.
+
+    Same baseline correction as pack_device_rel at HALF the wire bytes;
+    residuals in [-7, 7], -8 = saturated sentinel.  Low-diversity pairs
+    overlap the reference on a handful of columns (E = d_i * d_r / L),
+    so nibbles hold the common case; the sticky ladder escalates to the
+    int8 rel rung when they don't.  The column axis must be even (device
+    blocks are tile-padded).
+    """
+    res = c - rb[:, :, None] - cb[:, None, :] + cc[:, None, None]
+    if mask is not None:
+        res = xp.where(mask[None, :, :], 0, res)
+    sat = xp.abs(res) > 7
+    nib = xp.where(sat, REL4_SAT, res) & 0xF  # two's-complement nibble
+    u = nib.astype(xp.uint8)
+    byte = u[..., 0::2] | (u[..., 1::2] << 4)
+    return _bitcast(byte, xp.int8, xp)
+
+
+def unpack_rel4_nibbles(packed: np.ndarray) -> np.ndarray:
+    """(..., n/2) int8 packed bytes -> (..., n) int32 residuals
+    (sign-extended; REL4_SAT marks saturation — caller checks after
+    cropping away padding columns)."""
+    b = packed.view(np.uint8)
+    nib = np.empty(b.shape[:-1] + (b.shape[-1] * 2,), dtype=np.uint8)
+    nib[..., 0::2] = b & 0xF
+    nib[..., 1::2] = b >> 4
+    val = nib.astype(np.int32)
+    val -= (val > 7) * 16
+    return val
+
+
+def finish_host_rel4(
+    res: np.ndarray, rb: np.ndarray, cb: np.ndarray, cc: np.ndarray
+) -> Optional[np.ndarray]:
+    """Cropped int32 nibble residuals + baselines -> counters, or None
+    on saturation."""
+    if (res == REL4_SAT).any():
+        return None
+    return res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
 
 
 def unpack_host_narrow(

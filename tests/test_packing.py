@@ -104,12 +104,14 @@ def test_engine_packed_blocks_match_unpacked():
 
 
 def test_sticky_escalation_ladder():
-    """Narrow saturations escalate to rel (when a reference row exists)
-    and rel saturations escalate to wide; a clean fetch resets the
-    narrow streak."""
+    """With a reference row the ladder is rel4 -> rel -> narrow/wide;
+    without one it is the historical narrow -> wide.  A clean fetch
+    resets each streak."""
     from distance_tpu.engine import NARROW_STICKY_LIMIT, _BlockEngine
 
-    eng = _BlockEngine("raw", "xla", 8, 8, width=600)
+    # tile_j 16: rel4's halved lane axis must divide the 8-device mesh
+    eng = _BlockEngine("raw", "xla", 8, 16, width=600)
+    # no reference row: narrow -> (saturations) -> wide
     assert eng.packed and eng.pack_mode == "narrow"
     for _ in range(NARROW_STICKY_LIMIT - 1):
         eng.note_narrow(True)
@@ -118,15 +120,58 @@ def test_sticky_escalation_ladder():
     assert eng.pack_mode == "narrow"
     for _ in range(NARROW_STICKY_LIMIT):
         eng.note_narrow(True)
-    # no reference row -> wide
     assert eng.pack_mode == "wide"
+    # reference row present: rel4 first (half bytes), then rel, then the
+    # narrow/wide rung the streaks already selected
     eng.rel_ref = object()  # any device ref
+    assert eng.pack_mode == "rel4"
+    assert eng.stream_pack_mode == "rel4"
+    for _ in range(NARROW_STICKY_LIMIT - 1):
+        eng.note_rel4(True)
+    assert eng.pack_mode == "rel4"
+    eng.note_rel4(False)  # clean fetch resets
+    assert eng.pack_mode == "rel4"
+    for _ in range(NARROW_STICKY_LIMIT):
+        eng.note_rel4(True)
     assert eng.pack_mode == "rel"
     assert eng.stream_pack_mode == "rel"
     for _ in range(NARROW_STICKY_LIMIT):
         eng.note_rel(True)
     assert eng.pack_mode == "wide"
     assert eng.stream_pack_mode == "wide"
+
+
+def test_rel4_pack_roundtrip_and_saturation():
+    from distance_tpu.ops.packing import (
+        REL4_SAT, finish_host_rel4, pack_device_rel4, unpack_rel4_nibbles,
+    )
+
+    rng = np.random.default_rng(9)
+    G, m, n = 4, 5, 8  # even column axis (device blocks are tile-padded)
+    rb = rng.integers(0, 500, (G, m)).astype(np.int32)
+    cb = rng.integers(0, 500, (G, n)).astype(np.int32)
+    cc = rng.integers(0, 500, G).astype(np.int32)
+    res = rng.integers(-7, 8, (G, m, n)).astype(np.int32)
+    c = res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
+    lanes = pack_device_rel4(c, rb, cb, cc, np)
+    assert lanes.dtype == np.int8 and lanes.shape == (G, m, n // 2)
+    got = finish_host_rel4(unpack_rel4_nibbles(lanes), rb, cb, cc)
+    assert np.array_equal(got, c)
+    # odd crop: expanding then cropping drops the padding nibble
+    crop = unpack_rel4_nibbles(lanes)[:, :, : n - 1]
+    got = finish_host_rel4(crop, rb, cb[:, : n - 1], cc)
+    assert np.array_equal(got, c[:, :, : n - 1])
+    # one out-of-range residual -> sentinel -> None
+    c[1, 2, 3] += 50
+    lanes = pack_device_rel4(c, rb, cb, cc, np)
+    res2 = unpack_rel4_nibbles(lanes)
+    assert res2[1, 2, 3] == REL4_SAT
+    assert finish_host_rel4(res2, rb, cb, cc) is None
+    # masked cells (square-sweep diagonal) are zeroed, not saturated
+    mask = np.zeros((m, n), dtype=bool)
+    mask[2, 3] = True
+    lanes = pack_device_rel4(c, rb, cb, cc, np, mask)
+    assert unpack_rel4_nibbles(lanes)[1, 2, 3] == 0
 
 
 def test_rel_pack_roundtrip_and_saturation():
@@ -197,13 +242,19 @@ def test_engine_rect_rel_pack_exact(monkeypatch):
 
 def test_unpacked_width_ladder_is_rel_then_none():
     """At widths >= PACK_LIMIT there are no narrow/wide rungs; the
-    ladder is rel (when a reference exists) -> none (raw int32)."""
+    ladder is rel4 -> rel (when a reference exists) -> none (raw
+    int32)."""
     from distance_tpu.engine import NARROW_STICKY_LIMIT, _BlockEngine
 
-    eng = _BlockEngine("raw", "xla", 8, 8, width=PACK_LIMIT + 100)
+    # tile_j 16: on the test mesh (8 virtual devices) the halved rel4
+    # lane axis must still divide the device count
+    eng = _BlockEngine("raw", "xla", 8, 16, width=PACK_LIMIT + 100)
     assert not eng.packed
     assert eng.pack_mode == "none"  # no reference row yet
     eng.rel_ref = object()
+    assert eng.pack_mode == "rel4"
+    for _ in range(NARROW_STICKY_LIMIT):
+        eng.note_rel4(True)
     assert eng.pack_mode == "rel"
     assert eng.stream_pack_mode == "rel"
     for _ in range(NARROW_STICKY_LIMIT):
@@ -231,17 +282,25 @@ def _wide_private_fasta(n, per_record):
 
 
 def _count_rel_unpacks(monkeypatch):
+    """Record every rel-family unpack outcome (True = lanes held)."""
     from distance_tpu.ops import packing
 
     outcomes = []
-    real = packing.unpack_host_rel
+    real8 = packing.unpack_host_rel
+    real4 = packing.finish_host_rel4
 
-    def counting(*a, **kw):
-        out = real(*a, **kw)
+    def counting8(*a, **kw):
+        out = real8(*a, **kw)
         outcomes.append(out is not None)
         return out
 
-    monkeypatch.setattr(packing, "unpack_host_rel", counting)
+    def counting4(*a, **kw):
+        out = real4(*a, **kw)
+        outcomes.append(out is not None)
+        return out
+
+    monkeypatch.setattr(packing, "unpack_host_rel", counting8)
+    monkeypatch.setattr(packing, "finish_host_rel4", counting4)
     return outcomes
 
 
@@ -256,11 +315,11 @@ def test_engine_square_rel_pack_unpacked_width(monkeypatch):
     n, per_record = 24, 2800
     f1 = _wide_private_fasta(n, per_record)  # 67200 variant columns
 
-    eng = _BlockEngine("raw", "xla", 4, 8, width=n * per_record)
+    eng = _BlockEngine("raw", "xla", 4, 16, width=n * per_record)
     assert not eng.packed
-    eng.prepare(np.zeros((n, n * per_record), np.uint8), max_block=8)
+    eng.prepare(np.zeros((n, n * per_record), np.uint8), max_block=16)
     assert eng.rel_ref is not None
-    assert eng.pack_mode == "rel"
+    assert eng.pack_mode == "rel4"
 
     outcomes = _count_rel_unpacks(monkeypatch)
     for measure in ("n_high", "raw", "tn93"):
