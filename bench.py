@@ -295,9 +295,11 @@ def main():
     pairs_per_s, dt, total_pairs, eng, dev = device_sweep_pairs_per_s(
         mat, measure, backend, ti, tj, max_block=max(ti, tj)
     )
-    # bytes-on-wire accounting: is end-to-end link-bound?
-    bytes_per_pair = {"n": 1, "n_high": 1, "raw": 2, "jc69": 2,
-                      "k80": 3, "tn93": 4}.get(measure, 4)
+    # bytes-on-wire accounting: is end-to-end link-bound?  rel4 lanes
+    # (the default rung) ship two 4-bit residuals per byte: 0.5 B per
+    # counter per pair, plus negligible baseline/exception sidecars.
+    bytes_per_pair = {"n": 0.5, "n_high": 0.5, "raw": 1.0, "jc69": 1.0,
+                      "k80": 1.5, "tn93": 2.0}.get(measure, 4)
     wire_mb = total_pairs * bytes_per_pair / 1e6
     wire_util = None
     if link and link.get("warm_d2h_mb_s"):

@@ -409,9 +409,7 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
         # column baselines + the strip-constant row baselines /
         # self-counter (identical across a strip's blocks — the fetch
         # uses any one copy)
-        pack_rel = pack_device_rel4 if pack_mode == "rel4" else pack_device_rel
-
-        def f(m1, m2, i0, j0, ref):
+        def f(m1, m2, i0, j0, ref, nv1, nv2):
             x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
             y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
             c = kern(x, y, plan)
@@ -419,17 +417,27 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
             rb = kern(x, ref2, plan)[:, :, 0]     # (G, ti)
             cb = kern(ref2, y, plan)[:, 0, :]     # (G, tj)
             cc = kern(ref2, ref2, plan)[:, 0, 0]  # (G,)
+            ri = jnp.arange(ti) + i0
+            cj = jnp.arange(tj) + j0
             mask = None
             if diag_mask:
                 # square sweep over one matrix: (i0+k, j0+l) with equal
                 # global indices are self-pairs — never emitted, and
                 # their residual (-2*rb) saturates for any record >63
                 # counts from the reference
-                ri = jnp.arange(ti) + i0
-                cj = jnp.arange(tj) + j0
                 mask = ri[:, None] == cj[None, :]
-            lanes = pack_rel(c, rb, cb, cc, jnp, mask)
             rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
+            if pack_mode == "rel4":
+                # padding rows/cols saturate by construction (their
+                # residual is +cc); zero them so they cannot flood the
+                # exception sidecar — they are cropped on host anyway
+                pad = (ri[:, None] >= nv1) | (cj[None, :] >= nv2)
+                mask = pad if mask is None else (mask | pad)
+                lanes, exc_idx, exc_val = pack_device_rel4(
+                    c, rb, cb, cc, jnp, mask
+                )
+                return lanes, cb, rb_cc, exc_idx, exc_val
+            lanes = pack_device_rel(c, rb, cb, cc, jnp, mask)
             return lanes, cb, rb_cc
     else:
         def f(m1, m2, i0, j0):
@@ -448,11 +456,17 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if pack_mode in ("rel", "rel4"):
-                return jax.jit(f, out_shardings=(
+                shards = [
                     NamedSharding(mesh, P(None, None, "dp")),
                     NamedSharding(mesh, P(None, "dp")),
                     NamedSharding(mesh, P(None, None)),
-                ))
+                ]
+                if pack_mode == "rel4":  # exception sidecar: replicated
+                    shards += [
+                        NamedSharding(mesh, P(None)),
+                        NamedSharding(mesh, P(None)),
+                    ]
+                return jax.jit(f, out_shardings=tuple(shards))
             return jax.jit(
                 f,
                 out_shardings=NamedSharding(mesh, P(None, None, "dp")),
@@ -501,20 +515,28 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
         c = jax.lax.map(body, i0s)  # (S, G, ti, rows_pad)
         return jnp.moveaxis(c, 0, 1).reshape(-1, n1_pad, rows_pad)
 
-    def finish(c, m1=None, y=None, ref=None):
+    def finish(c, m1=None, y=None, ref=None, nv1=None, nv2=None):
         if pack_mode in ("rel", "rel4"):
             # rank-1 baseline correction (ops/packing.py): residual
-            # lanes int8 (4-bit pairs under rel4) + two small int32
-            # baseline arrays
-            pack_rel = (
-                pack_device_rel4 if pack_mode == "rel4" else pack_device_rel
-            )
+            # lanes int8 (4-bit pairs + exception sidecar under rel4)
+            # + two small int32 baseline arrays
             ref2 = ref[None, :]
             rb = kern(m1, ref2, plan)[:, :, 0]      # (G, n1_pad)
             cb = kern(ref2, y, plan)[:, 0, :]       # (G, rows_pad)
             cc = kern(ref2, ref2, plan)[:, 0, 0]    # (G,)
-            lanes = pack_rel(c, rb, cb, cc, jnp)
             rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
+            if pack_mode == "rel4":
+                # zero padding cells (loaded rows >= nv1, streamed rows
+                # >= nv2): their residuals saturate by construction and
+                # would flood the exception sidecar
+                pad = (jnp.arange(n1_pad)[:, None] >= nv1) | (
+                    jnp.arange(rows_pad)[None, :] >= nv2
+                )
+                lanes, exc_idx, exc_val = pack_device_rel4(
+                    c, rb, cb, cc, jnp, pad
+                )
+                return lanes, cb, rb_cc, exc_idx, exc_val
+            lanes = pack_device_rel(c, rb, cb, cc, jnp)
             return lanes, cb, rb_cc
         if pack_mode == "narrow":
             return pack_device_narrow(measure, c, width, jnp)
@@ -526,16 +548,16 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
         def f(m1, y):
             return finish(sweep(m1, y))
     elif cap is None:
-        def f(m1, ref, y):
-            return finish(sweep(m1, y), m1, y, ref)
+        def f(m1, ref, y, nv1, nv2):
+            return finish(sweep(m1, y), m1, y, ref, nv1, nv2)
     else:
-        def f(m1, ref, idx, vals):
+        def f(m1, ref, idx, vals, nv1, nv2):
             base = jnp.broadcast_to(ref, (rows_pad, l_pad)).reshape(-1)
             y = base.at[idx].set(
                 vals, mode="drop", indices_are_sorted=True,
                 unique_indices=True,
             ).reshape(rows_pad, l_pad)
-            return finish(sweep(m1, y), m1, y, ref)
+            return finish(sweep(m1, y), m1, y, ref, nv1, nv2)
 
     if sharded:
         mesh = _device_mesh(rows_pad)
@@ -543,11 +565,17 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if pack_mode in ("rel", "rel4"):
-                return jax.jit(f, out_shardings=(
+                shards = [
                     NamedSharding(mesh, P(None, None, "dp")),
                     NamedSharding(mesh, P(None, "dp")),
                     NamedSharding(mesh, P(None, None)),
-                ))
+                ]
+                if pack_mode == "rel4":  # exception sidecar: replicated
+                    shards += [
+                        NamedSharding(mesh, P(None)),
+                        NamedSharding(mesh, P(None)),
+                    ]
+                return jax.jit(f, out_shardings=tuple(shards))
             return jax.jit(
                 f, out_shardings=NamedSharding(mesh, P(None, None, "dp"))
             )
@@ -691,9 +719,12 @@ class _BlockEngine:
         return dev
 
     def block(self, m1, m2, i0: int, j0: int, ti: int, tj: int,
-              mode: Optional[str] = None):
+              mode: Optional[str] = None, nv=None):
         """Dispatch one (ti, tj) counter block; returns a lazy handle
-        (a (lanes, cb, rb_cc) triple under rel packing)."""
+        (a (lanes, cb, rb_cc[, exc_idx, exc_val]) tuple under rel
+        packing).  ``nv`` = (valid rows in m1, valid rows in m2) — the
+        rel4 pack zeroes padding cells so they cannot flood the
+        exception sidecar."""
         if self.backend == "numpy":
             x = m1[i0 : i0 + ti]
             y = m2[j0 : j0 + tj]
@@ -704,7 +735,9 @@ class _BlockEngine:
                            self.width, self.sharded and tj == self.tj,
                            diag_mask=(mode in ("rel", "rel4") and m1 is m2))
         if mode in ("rel", "rel4"):
-            return fn(m1, m2, i0, j0, self.rel_ref)
+            nv1, nv2 = nv if nv is not None else (m1.shape[0], m2.shape[0])
+            return fn(m1, m2, i0, j0, self.rel_ref,
+                      np.int32(nv1), np.int32(nv2))
         return fn(m1, m2, i0, j0)
 
     def diff_ref_for(self, source: np.ndarray) -> Optional[np.ndarray]:
@@ -728,14 +761,17 @@ class _BlockEngine:
         return _chunked_h2d(padded)
 
     def dispatch_stream(self, m1, padded: np.ndarray, rows_pad: int,
-                        mode: Optional[str] = None):
+                        mode: Optional[str] = None, nv=None):
         """Fused dispatch of one whole stream group: diff rebuild (when
         the batch is low-diversity) + every loaded strip + packing in a
         single jitted call.  Returns a lazy (P, n1_pad, rows_pad) handle
-        (a ``(lanes, bases)`` pair for the rel pack mode)."""
+        (a ``(lanes, bases[, exceptions])`` tuple for the rel pack
+        modes).  ``nv`` = (valid loaded rows, valid streamed rows)."""
         if mode is None:
             mode = self.stream_pack_mode
         n1_pad, l_pad = m1.shape
+        nv1, nv2 = nv if nv is not None else (n1_pad, rows_pad)
+        nvs = (np.int32(nv1), np.int32(nv2))
         enc = (
             self.diff_up.encode(padded)
             if self.diff_up is not None else None
@@ -746,7 +782,7 @@ class _BlockEngine:
                 mode, self.width, l_pad, None, self.sharded,
             )
             if mode in ("rel", "rel4"):
-                return fn(m1, self.rel_ref, _chunked_h2d(padded))
+                return fn(m1, self.rel_ref, _chunked_h2d(padded), *nvs)
             return fn(m1, _chunked_h2d(padded))
         idx, vals = enc
         fn = _jit_stream_fn(
@@ -754,7 +790,7 @@ class _BlockEngine:
             mode, self.width, l_pad, int(idx.shape[0]), self.sharded,
         )
         return fn(m1, self.rel_ref if mode in ("rel", "rel4") else
-                  self.diff_up.ref_dev(), idx, vals)
+                  self.diff_up.ref_dev(), idx, vals, *nvs)
 
     @property
     def _rel_usable(self) -> bool:
@@ -810,9 +846,12 @@ class _BlockEngine:
             self._rel4_overflow_streak + 1 if saturated else 0
         )
 
-    def to_host(self, handle) -> np.ndarray:
+    def to_host(self, handle):
         """Synchronously materialize a dispatched block on host (used for
-        warm-up; emission paths go through the strip fetch helpers)."""
+        warm-up; emission paths go through the strip fetch helpers).
+        rel-family handles are (lanes, cb, rb_cc) tuples."""
+        if isinstance(handle, tuple):
+            return tuple(np.asarray(h) for h in handle)
         return np.asarray(handle)
 
 
@@ -1156,6 +1195,8 @@ def configure_fetch_pool(n_threads: int) -> None:
 
 def _chunk_slices(handle, axis: int):
     shape = handle.shape
+    if axis >= len(shape):  # low-rank sidecars (e.g. 1-D exceptions)
+        return [handle]
     other = int(np.prod(shape)) // max(1, shape[axis])
     bytes_per_slice = other * handle.dtype.itemsize
     chunk = max(1, FETCH_CHUNK_BYTES // max(1, bytes_per_slice))
@@ -1235,13 +1276,13 @@ def _chunked_h2d(arr: np.ndarray):
 
 
 def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
-                    mode: Optional[str] = None):
+                    mode: Optional[str] = None, nv=None):
     """Dispatch all column blocks of one strip; device-concat the packed
     outputs into a single (P, ti, span) handle (one logical transfer).
     rel-packed blocks yield (lanes, cb, rb_cc) triples: lanes/cb concat
     along the column axis, rb_cc is strip-constant (first copy kept)."""
     handles = [
-        eng.block(m1, m2, i0, j0, ti, tj, mode) for j0 in col_starts
+        eng.block(m1, m2, i0, j0, ti, tj, mode, nv) for j0 in col_starts
     ]
     if eng.backend == "numpy":
         return np.concatenate(handles, axis=-1)
@@ -1250,11 +1291,19 @@ def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
     if isinstance(handles[0], tuple):
         if len(handles) == 1:
             return handles[0]
-        return (
+        out = (
             jnp.concatenate([h[0] for h in handles], axis=-1),
             jnp.concatenate([h[1] for h in handles], axis=-1),
             handles[0][2],
         )
+        if len(handles[0]) == 5:
+            # rel4 exception sidecars: one (CAP,) pair per block, stacked
+            # (B, CAP); indices are block-local (host translates by tj)
+            out += (
+                jnp.stack([h[3] for h in handles]),
+                jnp.stack([h[4] for h in handles]),
+            )
+        return out
     return jnp.concatenate(handles, axis=-1) if len(handles) > 1 else handles[0]
 
 
@@ -1280,13 +1329,13 @@ def _fetch_strip(
     if eng.backend == "numpy":
         return arr
     if isinstance(arr, tuple):
-        # rel pack (lanes, cb, rb_cc); possibly still device arrays
-        lanes, cb, rb_cc = (
+        # rel pack (lanes, cb, rb_cc[, exceptions]); maybe device arrays
+        parts = tuple(
             a if isinstance(a, np.ndarray) else np.asarray(a) for a in arr
         )
-        vr = lanes.shape[1] if valid_rows is None else valid_rows
-        vc = lanes.shape[2] if valid_cols is None else valid_cols
-        counters, was4 = _unpack_rel_parts(eng, lanes, cb, rb_cc, vr, vc)
+        vr = parts[0].shape[1] if valid_rows is None else valid_rows
+        vc = parts[1].shape[1] if valid_cols is None else valid_cols
+        counters, was4 = _unpack_rel_parts(eng, parts, vr, vc)
         (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:
             return counters
@@ -1455,7 +1504,8 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
                 continue
             col_starts = list(range(i0, n, tj))
             yield ordinal, i0, col_starts, _AsyncFetch(
-                _dispatch_strip(eng, mat, mat, i0, col_starts, ti, tj)
+                _dispatch_strip(eng, mat, mat, i0, col_starts, ti, tj,
+                                nv=(n, n))
             )
 
     def emit(item):
@@ -1464,7 +1514,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         strip = _fetch_strip(
             eng, handle, si, n - i0,
             redispatch=lambda mode: _dispatch_strip(
-                eng, mat, mat, i0, col_starts, ti, tj, mode
+                eng, mat, mat, i0, col_starts, ti, tj, mode, nv=(n, n)
             ),
         )
         # Rows i0..i0+si-1 in order: (i, j) for j in i+1..n.
@@ -1564,7 +1614,8 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                 lo_loc = max(0, ((abs_i0 - q0) // tj) * tj) if q0 <= abs_i0 else 0
                 col_starts = list(range(lo_loc, q1 - q0, tj))
                 handle = _AsyncFetch(_dispatch_strip(
-                    eng, dev_x, dev_y, i0_loc, col_starts, ti, tj
+                    eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
+                    nv=(g1 - g0, q1 - q0)
                 ))
                 sr_items.append((i0_loc, col_starts, handle))
             for i0_loc, col_starts, handle in sr_items:
@@ -1574,7 +1625,8 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                     eng, handle, si, vcols,
                     redispatch=lambda mode, i0_loc=i0_loc,
                     col_starts=col_starts: _dispatch_strip(
-                        eng, dev_x, dev_y, i0_loc, col_starts, ti, tj, mode
+                        eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
+                        mode, nv=(g1 - g0, q1 - q0)
                     ),
                 )
                 c0_abs = q0 + col_starts[0]
@@ -1650,7 +1702,8 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
             if ordinal < done:
                 continue
             yield ordinal, i0, _AsyncFetch(
-                _dispatch_strip(eng, m1, m2, i0, col_starts, ti, tj)
+                _dispatch_strip(eng, m1, m2, i0, col_starts, ti, tj,
+                                nv=(n1, n2))
             )
 
     def emit(item):
@@ -1659,7 +1712,7 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
         strip = _fetch_strip(
             eng, handle, si, n2,
             redispatch=lambda mode: _dispatch_strip(
-                eng, m1, m2, i0, col_starts, ti, tj, mode
+                eng, m1, m2, i0, col_starts, ti, tj, mode, nv=(n1, n2)
             ),
         )
         local_rows = np.repeat(np.arange(si, dtype=np.int32), n2)
@@ -1857,8 +1910,10 @@ def _run_stream(setup: Setup) -> None:
                     for i0 in range(0, n1, ti)
                 ], axis=1)
         else:
-            def dispatch(padded=padded, rows_pad=rows_pad, mode=None):
-                return eng.dispatch_stream(m1, padded, rows_pad, mode)
+            def dispatch(padded=padded, rows_pad=rows_pad, mode=None,
+                         bn=bn):
+                return eng.dispatch_stream(m1, padded, rows_pad, mode,
+                                           nv=(n1, bn))
 
         with phase_timer("stream-dispatch"):
             fut = dispatcher.submit(
@@ -1915,22 +1970,42 @@ def _start_stream_fetch(out):
     return _AsyncFetch(out, axis=1)
 
 
-def _unpack_rel_parts(eng: _BlockEngine, lanes: np.ndarray, cb: np.ndarray,
-                      rb_cc: np.ndarray, vr: int, vc: int):
-    """Crop a rel-packed (lanes, cb, rb_cc) fetch to the valid region
-    (padding rows/cols carry out-of-range residuals by construction) and
+def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
+    """Crop a rel-packed fetch (a (lanes, cb, rb_cc) triple, or a
+    5-tuple with the rel4 exception sidecar) to the valid region and
     reconstruct int32 counters.  Returns (counters_or_None, was_rel4);
-    counters is None on lane saturation.  rel4 lanes are recognized by
-    their halved column axis and expanded before the crop so padding
-    nibbles never trip the saturation check."""
+    counters is None on lane saturation (sidecar overflow under rel4).
+
+    rel4 lanes expand to full-width residuals first: exception indices
+    address the padded tensor, and a strip's sidecars are per-block
+    ((B, CAP) int32, block-local flat indices into (G, ti, tj))."""
     from distance_tpu.ops.packing import (
         finish_host_rel4, unpack_host_rel, unpack_rel4_nibbles,
     )
 
+    lanes, cb, rb_cc = parts[:3]
     rb, cc = rb_cc[:, :vr], rb_cc[:, -1]
-    if lanes.shape[-1] != cb.shape[-1]:
-        res = unpack_rel4_nibbles(lanes[:, :vr])[:, :, :vc]
-        return finish_host_rel4(res, rb, cb[:, :vc], cc), True
+    if len(parts) == 5:
+        exc_idx, exc_val = parts[3], parts[4]
+        res = unpack_rel4_nibbles(lanes)  # full padded (G, rows, span)
+        flat = res.reshape(-1)
+        if exc_idx.ndim == 1:  # single tensor (stream group / one block)
+            sel = exc_idx >= 0
+            flat[exc_idx[sel]] = exc_val[sel]
+        else:  # (B, CAP): block-local indices into (G, ti, tj)
+            g_span = res.shape[1] * res.shape[2]
+            n_blocks = exc_idx.shape[0]
+            tj = res.shape[2] // n_blocks
+            for b in range(n_blocks):
+                idx = exc_idx[b]
+                sel = idx >= 0
+                idx = idx[sel]
+                g, rem = idx // (res.shape[1] * tj), idx % (res.shape[1] * tj)
+                r, c = rem // tj, rem % tj
+                flat[g * g_span + r * res.shape[2] + b * tj + c] = (
+                    exc_val[b][sel]
+                )
+        return finish_host_rel4(res[:, :vr, :vc], rb, cb[:, :vc], cc), True
     return (
         unpack_host_rel(lanes[:, :vr, :vc], rb, cb[:, :vc], cc),
         False,
@@ -1952,9 +2027,9 @@ def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
                         valid_cols: int, redispatch) -> np.ndarray:
     """Chunked fetch of a streamed batch's (P, n1_pad, batch) counters."""
     if isinstance(handle, tuple):
-        lanes, cb, rb_cc = (h.result() for h in handle)
+        parts = tuple(h.result() for h in handle)
         counters, was4 = _unpack_rel_parts(
-            eng, lanes, cb, rb_cc, valid_rows, valid_cols
+            eng, parts, valid_rows, valid_cols
         )
         (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:

@@ -168,16 +168,24 @@ def unpack_host_rel(
     return a + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
 
 
+# Exception-sidecar capacity per packed block/strip: outliers beyond the
+# nibble range ship as (flat index, value) pairs instead of forcing a
+# whole-strip wide refetch.  Residual tails are Poisson-thin (mean
+# overlap d_i*d_r/L), but one outlier among millions of pairs is near
+# certain on N-containing data — the sidecar absorbs them; only > CAP
+# outliers (pathological) still refetch.
+REL4_EXC_CAP = 4096
+
+
 def pack_device_rel4(c, rb, cb, cc, xp, mask=None):
     """Rank-1 residuals packed two per byte: (G, m, n) int32 counters ->
-    (G, m, n/2) int8 of 4-bit two's-complement lanes.
+    (lanes (G, m, n/2) int8, exc_idx (CAP,) int32, exc_val (CAP,) int32).
 
     Same baseline correction as pack_device_rel at HALF the wire bytes;
-    residuals in [-7, 7], -8 = saturated sentinel.  Low-diversity pairs
-    overlap the reference on a handful of columns (E = d_i * d_r / L),
-    so nibbles hold the common case; the sticky ladder escalates to the
-    int8 rel rung when they don't.  The column axis must be even (device
-    blocks are tile-padded).
+    residuals in [-7, 7], -8 = out-of-range sentinel whose true value
+    travels in the exception sidecar (flat indices into the (G, m, n)
+    residual tensor; unused slots hold index -1).  The column axis must
+    be even (device blocks are tile-padded).
     """
     res = c - rb[:, :, None] - cb[:, None, :] + cc[:, None, None]
     if mask is not None:
@@ -186,7 +194,25 @@ def pack_device_rel4(c, rb, cb, cc, xp, mask=None):
     nib = xp.where(sat, REL4_SAT, res) & 0xF  # two's-complement nibble
     u = nib.astype(xp.uint8)
     byte = u[..., 0::2] | (u[..., 1::2] << 4)
-    return _bitcast(byte, xp.int8, xp)
+    lanes = _bitcast(byte, xp.int8, xp)
+    flat_sat = sat.reshape(-1)
+    flat_res = res.reshape(-1)
+    if xp is np:
+        idx = np.flatnonzero(flat_sat)[:REL4_EXC_CAP].astype(np.int32)
+        exc_idx = np.full(REL4_EXC_CAP, -1, dtype=np.int32)
+        exc_idx[: idx.shape[0]] = idx
+        exc_val = np.zeros(REL4_EXC_CAP, dtype=np.int32)
+        exc_val[: idx.shape[0]] = flat_res[idx]
+    else:
+        (idx,) = xp.nonzero(
+            flat_sat, size=REL4_EXC_CAP, fill_value=flat_sat.shape[0]
+        )
+        valid = idx < flat_sat.shape[0]
+        exc_idx = xp.where(valid, idx, -1).astype(xp.int32)
+        exc_val = xp.where(
+            valid, flat_res[xp.minimum(idx, flat_sat.shape[0] - 1)], 0
+        ).astype(xp.int32)
+    return lanes, exc_idx, exc_val
 
 
 def unpack_rel4_nibbles(packed: np.ndarray) -> np.ndarray:

@@ -143,7 +143,8 @@ def test_sticky_escalation_ladder():
 
 def test_rel4_pack_roundtrip_and_saturation():
     from distance_tpu.ops.packing import (
-        REL4_SAT, finish_host_rel4, pack_device_rel4, unpack_rel4_nibbles,
+        REL4_EXC_CAP, REL4_SAT, finish_host_rel4, pack_device_rel4,
+        unpack_rel4_nibbles,
     )
 
     rng = np.random.default_rng(9)
@@ -153,25 +154,57 @@ def test_rel4_pack_roundtrip_and_saturation():
     cc = rng.integers(0, 500, G).astype(np.int32)
     res = rng.integers(-7, 8, (G, m, n)).astype(np.int32)
     c = res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
-    lanes = pack_device_rel4(c, rb, cb, cc, np)
+    lanes, exc_idx, exc_val = pack_device_rel4(c, rb, cb, cc, np)
     assert lanes.dtype == np.int8 and lanes.shape == (G, m, n // 2)
+    assert exc_idx.shape == (REL4_EXC_CAP,) and (exc_idx == -1).all()
     got = finish_host_rel4(unpack_rel4_nibbles(lanes), rb, cb, cc)
     assert np.array_equal(got, c)
     # odd crop: expanding then cropping drops the padding nibble
     crop = unpack_rel4_nibbles(lanes)[:, :, : n - 1]
     got = finish_host_rel4(crop, rb, cb[:, : n - 1], cc)
     assert np.array_equal(got, c[:, :, : n - 1])
-    # one out-of-range residual -> sentinel -> None
+    # out-of-range residuals ship in the exception sidecar
     c[1, 2, 3] += 50
-    lanes = pack_device_rel4(c, rb, cb, cc, np)
+    lanes, exc_idx, exc_val = pack_device_rel4(c, rb, cb, cc, np)
     res2 = unpack_rel4_nibbles(lanes)
     assert res2[1, 2, 3] == REL4_SAT
-    assert finish_host_rel4(res2, rb, cb, cc) is None
-    # masked cells (square-sweep diagonal) are zeroed, not saturated
+    flat_pos = (1 * m + 2) * n + 3
+    assert exc_idx[0] == flat_pos
+    res2.reshape(-1)[exc_idx[0]] = exc_val[0]
+    got = finish_host_rel4(res2, rb, cb, cc)
+    assert np.array_equal(got, c)
+    # an unpatched sentinel (sidecar overflow) still returns None
+    res3 = unpack_rel4_nibbles(lanes)
+    assert finish_host_rel4(res3, rb, cb, cc) is None
+    # masked cells (square-sweep diagonal / padding) are zeroed — they
+    # neither saturate nor consume sidecar slots
     mask = np.zeros((m, n), dtype=bool)
     mask[2, 3] = True
-    lanes = pack_device_rel4(c, rb, cb, cc, np, mask)
+    lanes, exc_idx, _ = pack_device_rel4(c, rb, cb, cc, np, mask)
     assert unpack_rel4_nibbles(lanes)[1, 2, 3] == 0
+    assert (exc_idx == -1).all()
+
+
+def test_rel4_jax_pack_matches_numpy():
+    import jax.numpy as jnp
+
+    from distance_tpu.ops.packing import pack_device_rel4
+
+    rng = np.random.default_rng(10)
+    G, m, n = 2, 6, 8
+    rb = rng.integers(0, 300, (G, m)).astype(np.int32)
+    cb = rng.integers(0, 300, (G, n)).astype(np.int32)
+    cc = rng.integers(0, 300, G).astype(np.int32)
+    res = rng.integers(-9, 10, (G, m, n)).astype(np.int32)  # some outliers
+    c = res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
+    l_np, i_np, v_np = pack_device_rel4(c, rb, cb, cc, np)
+    l_j, i_j, v_j = pack_device_rel4(
+        jnp.asarray(c), jnp.asarray(rb), jnp.asarray(cb), jnp.asarray(cc),
+        jnp,
+    )
+    assert np.array_equal(l_np, np.asarray(l_j))
+    assert np.array_equal(i_np, np.asarray(i_j))
+    assert np.array_equal(v_np, np.asarray(v_j))
 
 
 def test_rel_pack_roundtrip_and_saturation():
