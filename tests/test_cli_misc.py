@@ -64,4 +64,6 @@ def test_default_threads_and_pool_from_cpu_count(tmp_path, monkeypatch):
     ncpu = os.cpu_count() or 1
     assert setup.n_threads == ncpu
     pool = engine._get_fetch_pool()
-    assert pool._max_workers == min(32, ncpu)
+    # transfer threads are IO-blocked: the default pool oversubscribes
+    # the machine's cores; an explicit -t is an exact override
+    assert pool._max_workers == min(32, 4 * ncpu)
