@@ -168,13 +168,18 @@ def unpack_host_rel(
     return a + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
 
 
-# Exception-sidecar capacity per packed block/strip: outliers beyond the
-# nibble range ship as (flat index, value) pairs instead of forcing a
-# whole-strip wide refetch.  Residual tails are Poisson-thin (mean
-# overlap d_i*d_r/L), but one outlier among millions of pairs is near
-# certain on N-containing data — the sidecar absorbs them; only > CAP
-# outliers (pathological) still refetch.
-REL4_EXC_CAP = 4096
+# Exception sidecar: outliers beyond the nibble range ship as (flat
+# index, value) pairs instead of forcing a whole-strip wide refetch.
+# Extraction must stay cheap in-graph (a full nonzero/sort over the
+# residual tensor measured 4.7x the sweep's device time), so it is
+# segmented: the flat tensor splits into REL4_SEGMENTS ranges and two
+# argmax reductions recover the FIRST and LAST outlier per segment.
+# Residual tails are Poisson-thin (mean overlap d_i*d_r/L): with ~100
+# outliers among millions of cells, a segment holding >= 3 is vanishing
+# — and when it happens those cells simply stay -8 and the strip takes
+# the existing wide refetch.  Sidecar = 2 * REL4_SEGMENTS entries.
+REL4_SEGMENTS = 8192
+REL4_EXC_CAP = 2 * REL4_SEGMENTS
 
 
 def pack_device_rel4(c, rb, cb, cc, xp, mask=None):
@@ -195,23 +200,23 @@ def pack_device_rel4(c, rb, cb, cc, xp, mask=None):
     u = nib.astype(xp.uint8)
     byte = u[..., 0::2] | (u[..., 1::2] << 4)
     lanes = _bitcast(byte, xp.int8, xp)
-    flat_sat = sat.reshape(-1)
+
+    n_flat = int(np.prod(res.shape))
+    seg_len = -(-n_flat // REL4_SEGMENTS)
+    pad = REL4_SEGMENTS * seg_len - n_flat
+    flat_sat = xp.concatenate(
+        [sat.reshape(-1), xp.zeros(pad, dtype=sat.dtype)]
+    ).reshape(REL4_SEGMENTS, seg_len)
     flat_res = res.reshape(-1)
-    if xp is np:
-        idx = np.flatnonzero(flat_sat)[:REL4_EXC_CAP].astype(np.int32)
-        exc_idx = np.full(REL4_EXC_CAP, -1, dtype=np.int32)
-        exc_idx[: idx.shape[0]] = idx
-        exc_val = np.zeros(REL4_EXC_CAP, dtype=np.int32)
-        exc_val[: idx.shape[0]] = flat_res[idx]
-    else:
-        (idx,) = xp.nonzero(
-            flat_sat, size=REL4_EXC_CAP, fill_value=flat_sat.shape[0]
-        )
-        valid = idx < flat_sat.shape[0]
-        exc_idx = xp.where(valid, idx, -1).astype(xp.int32)
-        exc_val = xp.where(
-            valid, flat_res[xp.minimum(idx, flat_sat.shape[0] - 1)], 0
-        ).astype(xp.int32)
+    count = flat_sat.sum(axis=1)
+    first = xp.argmax(flat_sat, axis=1)
+    last = seg_len - 1 - xp.argmax(flat_sat[:, ::-1], axis=1)
+    base = xp.arange(REL4_SEGMENTS, dtype=xp.int32) * np.int32(seg_len)
+    idx1 = xp.where(count >= 1, base + first.astype(xp.int32), -1)
+    idx2 = xp.where(count >= 2, base + last.astype(xp.int32), -1)
+    exc_idx = xp.concatenate([idx1, idx2]).astype(xp.int32)
+    safe = xp.clip(exc_idx, 0, n_flat - 1)
+    exc_val = xp.where(exc_idx >= 0, flat_res[safe], 0).astype(xp.int32)
     return lanes, exc_idx, exc_val
 
 

@@ -169,8 +169,9 @@ def test_rel4_pack_roundtrip_and_saturation():
     res2 = unpack_rel4_nibbles(lanes)
     assert res2[1, 2, 3] == REL4_SAT
     flat_pos = (1 * m + 2) * n + 3
-    assert exc_idx[0] == flat_pos
-    res2.reshape(-1)[exc_idx[0]] = exc_val[0]
+    sel = exc_idx >= 0
+    assert flat_pos in exc_idx[sel]
+    res2.reshape(-1)[exc_idx[sel]] = exc_val[sel]
     got = finish_host_rel4(res2, rb, cb, cc)
     assert np.array_equal(got, c)
     # an unpatched sentinel (sidecar overflow) still returns None
@@ -183,6 +184,35 @@ def test_rel4_pack_roundtrip_and_saturation():
     lanes, exc_idx, _ = pack_device_rel4(c, rb, cb, cc, np, mask)
     assert unpack_rel4_nibbles(lanes)[1, 2, 3] == 0
     assert (exc_idx == -1).all()
+
+
+def test_rel4_segment_overflow_leaves_sentinel():
+    """>= 3 outliers in one extraction segment: first/last patch, the
+    middle one stays -8 -> finish returns None (wide refetch)."""
+    from distance_tpu.ops.packing import (
+        REL4_SEGMENTS, finish_host_rel4, pack_device_rel4,
+        unpack_rel4_nibbles,
+    )
+
+    G, m, n = 1, 130, 128  # n_flat > REL4_SEGMENTS -> seg_len >= 2
+    assert G * m * n > REL4_SEGMENTS
+    rb = np.zeros((G, m), np.int32)
+    cb = np.zeros((G, n), np.int32)
+    cc = np.zeros(G, np.int32)
+    c = np.zeros((G, m, n), np.int32)
+    c[0, 0, 0], c[0, 0, 1], c[0, 0, 2] = 100, 101, 102  # one segment
+    lanes, exc_idx, exc_val = pack_device_rel4(c, rb, cb, cc, np)
+    res = unpack_rel4_nibbles(lanes)
+    sel = exc_idx >= 0
+    res.reshape(-1)[exc_idx[sel]] = exc_val[sel]
+    assert finish_host_rel4(res, rb, cb, cc) is None
+    # with only two outliers in the segment, both patch and it succeeds
+    c[0, 0, 1] = 0
+    lanes, exc_idx, exc_val = pack_device_rel4(c, rb, cb, cc, np)
+    res = unpack_rel4_nibbles(lanes)
+    sel = exc_idx >= 0
+    res.reshape(-1)[exc_idx[sel]] = exc_val[sel]
+    assert np.array_equal(finish_host_rel4(res, rb, cb, cc), c)
 
 
 def test_rel4_jax_pack_matches_numpy():
