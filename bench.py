@@ -100,10 +100,11 @@ def drain_relay(max_wait_s: float) -> None:
         streak = streak + 1 if dt < 2.0 else 0
         if streak >= 2:
             return
-        print(f"[bench] relay drain: settle {dt:.1f}s"
-              f" (waited {time.perf_counter() - t_start:.0f}s)",
-              file=sys.stderr)
-        time.sleep(min(20.0, max(2.0, dt / 2)))
+        if dt >= 2.0:  # healthy probes confirm back-to-back, silently
+            print(f"[bench] relay drain: settle {dt:.1f}s"
+                  f" (waited {time.perf_counter() - t_start:.0f}s)",
+                  file=sys.stderr)
+            time.sleep(min(20.0, dt / 2))
 
 
 def probe_link():

@@ -412,7 +412,7 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
         # column baselines + the strip-constant row baselines /
         # self-counter (identical across a strip's blocks — the fetch
         # uses any one copy)
-        def f(m1, m2, i0, j0, ref, nv1, nv2):
+        def f(m1, m2, i0, j0, ref, nv1, nv2, doff):
             x = jax.lax.dynamic_slice(m1, (i0, 0), (ti, m1.shape[1]))
             y = jax.lax.dynamic_slice(m2, (j0, 0), (tj, m2.shape[1]))
             c = kern(x, y, plan)
@@ -424,11 +424,14 @@ def _jit_block_fn(measure: str, backend: str, ti: int, tj: int,
             cj = jnp.arange(tj) + j0
             mask = None
             if diag_mask:
-                # square sweep over one matrix: (i0+k, j0+l) with equal
-                # global indices are self-pairs — never emitted, and
-                # their residual (-2*rb) saturates for any record >63
-                # counts from the reference
-                mask = ri[:, None] == cj[None, :]
+                # square sweep over one source: equal GLOBAL indices are
+                # self-pairs — never emitted, and their residual (-2*rb)
+                # saturates for any record >63 counts from the
+                # reference.  ``doff`` maps local to global: m1 row r is
+                # global r+off1, m2 row c is global c+off2, self-pair
+                # iff ri + (off1-off2) == cj (out-of-core row groups
+                # stage the same source at different offsets)
+                mask = (ri[:, None] + doff) == cj[None, :]
             rb_cc = jnp.concatenate([rb, cc[:, None]], axis=1)
             if pack_mode == "rel4":
                 # padding rows/cols saturate by construction (their
@@ -592,7 +595,8 @@ def _stream_group_rows(n1: int) -> int:
     feature temporaries.  DISTANCE_TPU_STREAM_GROUP overrides."""
     env = _os.environ.get("DISTANCE_TPU_STREAM_GROUP")
     if env:
-        return max(1, int(env))
+        # even: rel4 nibble lanes pack the streamed axis two per byte
+        return max(2, int(env) + (int(env) & 1))
     target = int(
         _os.environ.get("DISTANCE_TPU_STREAM_GROUP_PAIRS", 16 << 20)
     ) // max(1, n1)
@@ -722,25 +726,32 @@ class _BlockEngine:
         return dev
 
     def block(self, m1, m2, i0: int, j0: int, ti: int, tj: int,
-              mode: Optional[str] = None, nv=None):
+              mode: Optional[str] = None, nv=None, diag_off=None):
         """Dispatch one (ti, tj) counter block; returns a lazy handle
         (a (lanes, cb, rb_cc[, exc_idx, exc_val]) tuple under rel
         packing).  ``nv`` = (valid rows in m1, valid rows in m2) — the
         rel4 pack zeroes padding cells so they cannot flood the
-        exception sidecar."""
+        exception sidecar.  ``diag_off`` (self-sweeps over one source):
+        m1's global row offset minus m2's, for masking self-pair cells;
+        None when the two sides cannot contain self-pairs.  Defaults to
+        0 when m1 is m2."""
         if self.backend == "numpy":
             x = m1[i0 : i0 + ti]
             y = m2[j0 : j0 + tj]
             return _counters_numpy(x, y, self.plan)
         if mode is None:
             mode = self.pack_mode
+        if diag_off is None and m1 is m2:
+            diag_off = 0
         fn = _jit_block_fn(self.measure, self.backend, ti, tj, mode,
                            self.width, self.sharded and tj == self.tj,
-                           diag_mask=(mode in ("rel", "rel4") and m1 is m2))
+                           diag_mask=(mode in ("rel", "rel4")
+                                      and diag_off is not None))
         if mode in ("rel", "rel4"):
             nv1, nv2 = nv if nv is not None else (m1.shape[0], m2.shape[0])
             return fn(m1, m2, i0, j0, self.rel_ref,
-                      np.int32(nv1), np.int32(nv2))
+                      np.int32(nv1), np.int32(nv2),
+                      np.int32(diag_off or 0))
         return fn(m1, m2, i0, j0)
 
     def diff_ref_for(self, source: np.ndarray) -> Optional[np.ndarray]:
@@ -1281,13 +1292,14 @@ def _chunked_h2d(arr: np.ndarray):
 
 
 def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
-                    mode: Optional[str] = None, nv=None):
+                    mode: Optional[str] = None, nv=None, diag_off=None):
     """Dispatch all column blocks of one strip; device-concat the packed
     outputs into a single (P, ti, span) handle (one logical transfer).
     rel-packed blocks yield (lanes, cb, rb_cc) triples: lanes/cb concat
     along the column axis, rb_cc is strip-constant (first copy kept)."""
     handles = [
-        eng.block(m1, m2, i0, j0, ti, tj, mode, nv) for j0 in col_starts
+        eng.block(m1, m2, i0, j0, ti, tj, mode, nv, diag_off)
+        for j0 in col_starts
     ]
     if eng.backend == "numpy":
         return np.concatenate(handles, axis=-1)
@@ -1344,7 +1356,7 @@ def _fetch_strip(
         (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:
             return counters
-        return _rel_wide_refetch(eng, redispatch, vr, vc, -1)
+        return _rel_wide_refetch(eng, redispatch, vr, vc, -1, try_rel=was4)
     vr = arr.shape[1] if valid_rows is None else valid_rows
     vc = arr.shape[2] if valid_cols is None else valid_cols
     arr = arr[:, :vr, :vc]
@@ -1620,7 +1632,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                 col_starts = list(range(lo_loc, q1 - q0, tj))
                 handle = _AsyncFetch(_dispatch_strip(
                     eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
-                    nv=(g1 - g0, q1 - q0)
+                    nv=(g1 - g0, q1 - q0), diag_off=g0 - q0
                 ))
                 sr_items.append((i0_loc, col_starts, handle))
             for i0_loc, col_starts, handle in sr_items:
@@ -1629,9 +1641,10 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                 strip = _fetch_strip(
                     eng, handle, si, vcols,
                     redispatch=lambda mode, i0_loc=i0_loc,
-                    col_starts=col_starts: _dispatch_strip(
+                    col_starts=col_starts, g0=g0, g1=g1, q0=q0, q1=q1:
+                    _dispatch_strip(
                         eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
-                        mode, nv=(g1 - g0, q1 - q0)
+                        mode, nv=(g1 - g0, q1 - q0), diag_off=g0 - q0
                     ),
                 )
                 c0_abs = q0 + col_starts[0]
@@ -1985,7 +1998,7 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
     address the padded tensor, and a strip's sidecars are per-block
     ((B, CAP) int32, block-local flat indices into (G, ti, tj))."""
     from distance_tpu.ops.packing import (
-        finish_host_rel4, unpack_host_rel, unpack_rel4_nibbles,
+        REL4_SAT, finish_host_rel4, unpack_host_rel, unpack_rel4_nibbles,
     )
 
     lanes, cb, rb_cc = parts[:3]
@@ -1993,10 +2006,15 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
     if len(parts) == 5:
         exc_idx, exc_val = parts[3], parts[4]
         res = unpack_rel4_nibbles(lanes)  # full padded (G, rows, span)
-        flat = res.reshape(-1)
+        # -8 is saturation ONLY where no exception patches it (a patched
+        # residual may legitimately be -8)
+        bad = res == REL4_SAT
+        flat, flatbad = res.reshape(-1), bad.reshape(-1)
         if exc_idx.ndim == 1:  # single tensor (stream group / one block)
             sel = exc_idx >= 0
-            flat[exc_idx[sel]] = exc_val[sel]
+            idx = exc_idx[sel]
+            flat[idx] = exc_val[sel]
+            flatbad[idx] = False
         else:  # (B, CAP): block-local indices into (G, ti, tj)
             g_span = res.shape[1] * res.shape[2]
             n_blocks = exc_idx.shape[0]
@@ -2007,10 +2025,12 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
                 idx = idx[sel]
                 g, rem = idx // (res.shape[1] * tj), idx % (res.shape[1] * tj)
                 r, c = rem // tj, rem % tj
-                flat[g * g_span + r * res.shape[2] + b * tj + c] = (
-                    exc_val[b][sel]
-                )
-        return finish_host_rel4(res[:, :vr, :vc], rb, cb[:, :vc], cc), True
+                pos = g * g_span + r * res.shape[2] + b * tj + c
+                flat[pos] = exc_val[b][sel]
+                flatbad[pos] = False
+        return finish_host_rel4(
+            res[:, :vr, :vc], rb, cb[:, :vc], cc, bad[:, :vr, :vc]
+        ), True
     return (
         unpack_host_rel(lanes[:, :vr, :vc], rb, cb[:, :vc], cc),
         False,
@@ -2018,7 +2038,16 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
 
 
 def _rel_wide_refetch(eng: _BlockEngine, redispatch, vr: int, vc: int,
-                      axis: int) -> np.ndarray:
+                      axis: int, try_rel: bool = False) -> np.ndarray:
+    """Re-dispatch a saturated rel-family fetch.  A rel4 saturation first
+    tries the adjacent int8 rel rung (1 B/counter — nibble outliers are
+    almost always within int8 range); only a rel saturation pays the
+    wide (or raw-int32) refetch."""
+    if try_rel and eng.rel_ref is not None:
+        parts = tuple(np.asarray(a) for a in redispatch("rel"))
+        counters, _ = _unpack_rel_parts(eng, parts, vr, vc)
+        if counters is not None:
+            return counters
     wide = redispatch("wide" if eng.packed else "none")
     arr = _chunked_d2h(wide, axis=axis)[:, :vr, :vc]
     if not eng.packed:
@@ -2039,7 +2068,8 @@ def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
         (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:
             return counters
-        return _rel_wide_refetch(eng, redispatch, valid_rows, valid_cols, 1)
+        return _rel_wide_refetch(eng, redispatch, valid_rows, valid_cols, 1,
+                                 try_rel=was4)
     arr = handle.result() if isinstance(handle, _AsyncFetch) else handle
     if eng.backend == "numpy":
         return arr

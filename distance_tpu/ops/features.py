@@ -208,12 +208,7 @@ SHARED_MEASURE_CHANNELS: Dict[str, Tuple[List[Channel], Dict[str, Tuple[Tuple[in
 def counter_luts(name: str) -> Tuple[np.ndarray, np.ndarray]:
     """(r, 256) int8 LUT pair (f_luts, g_luts) for one counter (its
     canonical per-counter decomposition, independent of plan sharing)."""
-    v = np.arange(256, dtype=np.uint8)
-    f_rows, g_rows = [], []
-    for sign, f_prim, g_prim in COUNTER_CHANNELS[name]:
-        f_rows.append((sign * eval_prim(f_prim, v).astype(np.int16)).astype(np.int8))
-        g_rows.append(eval_prim(g_prim, v))
-    return np.stack(f_rows), np.stack(g_rows)
+    return _luts_for(COUNTER_CHANNELS[name])
 
 
 @dataclass(frozen=True, eq=False)  # id-hashable: plans are interned singletons

@@ -234,11 +234,20 @@ def unpack_rel4_nibbles(packed: np.ndarray) -> np.ndarray:
 
 
 def finish_host_rel4(
-    res: np.ndarray, rb: np.ndarray, cb: np.ndarray, cc: np.ndarray
+    res: np.ndarray,
+    rb: np.ndarray,
+    cb: np.ndarray,
+    cc: np.ndarray,
+    bad: Optional[np.ndarray] = None,
 ) -> Optional[np.ndarray]:
     """Cropped int32 nibble residuals + baselines -> counters, or None
-    on saturation."""
-    if (res == REL4_SAT).any():
+    on saturation.  ``bad`` marks cells whose -8 is an UNPATCHED
+    sentinel (callers that patched the exception sidecar clear patched
+    positions first — a patched value may legitimately be -8); without
+    it any -8 counts as saturation."""
+    if bad is None:
+        bad = res == REL4_SAT
+    if bad.any():
         return None
     return res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
 

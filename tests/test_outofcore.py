@@ -70,3 +70,61 @@ def test_blocked_unaligned_tiles(tile, monkeypatch, rng):
     fasta = make_fasta(random_seqs(rng, 70, 90, amb_frac=0.2))
     got, _ = run_engine("raw", fasta, backend="xla", tile_i=ti, tile_j=tj)
     assert got == expected_square("raw", fasta)
+
+
+def test_blocked_rel4_masks_self_pairs(tiny_budgets, monkeypatch):
+    """Out-of-core rel4: self-pair cells (whose residual -2*d_i would
+    saturate for records >3 diffs from the reference) must be masked via
+    the staged row groups' GLOBAL offsets — every rel-family unpack
+    succeeds, no refetch."""
+    from tests.test_packing import _count_rel_unpacks
+
+    rng = np.random.default_rng(66)
+    width = 512
+    ancestor = rng.choice(list("ACGT"), size=width)
+    nxt = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    recs = []
+    for i in range(24):
+        s = ancestor.copy()
+        # ~16 private mutations -> self-pair residual -32, saturating the
+        # nibble but NOT the pairwise overlaps (private columns)
+        for p in range(i * 16, (i + 1) * 16):
+            s[p % width] = nxt[s[p % width]]
+        recs.append((f"s{i}", "".join(s)))
+    fasta = ("".join(f">{r}\n{q}\n" for r, q in recs)).encode()
+    outcomes = _count_rel_unpacks(monkeypatch)
+    got, _ = run_engine("raw", fasta, backend="xla", tile_i=8, tile_j=8)
+    assert got == expected_square("raw", fasta)
+    assert outcomes and all(outcomes)
+
+
+def test_rel4_patched_minus8_is_not_saturation():
+    """A residual of exactly -8 travels in the sidecar; once patched the
+    cell must not read as an unpatched sentinel."""
+    from distance_tpu.engine import _unpack_rel_parts
+    from distance_tpu.ops.packing import pack_device_rel4
+
+    G, m, n = 2, 4, 8
+    rb = np.zeros((G, m), np.int32)
+    cb = np.zeros((G, n), np.int32)
+    cc = np.zeros(G, np.int32)
+    c = np.zeros((G, m, n), np.int32)
+    c[1, 2, 3] = -8
+    lanes, exc_idx, exc_val = pack_device_rel4(c, rb, cb, cc, np)
+    rb_cc = np.concatenate([rb, cc[:, None]], axis=1)
+    counters, was4 = _unpack_rel_parts(
+        None, (lanes, cb, rb_cc, exc_idx, exc_val), m, n
+    )
+    assert was4
+    assert counters is not None and np.array_equal(counters, c)
+
+
+def test_stream_group_env_rounds_to_even(monkeypatch):
+    """Odd DISTANCE_TPU_STREAM_GROUP values round up: rel4 nibble lanes
+    pack the streamed axis two per byte."""
+    from distance_tpu.engine import _stream_group_rows
+
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "501")
+    assert _stream_group_rows(100) == 502
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "1")
+    assert _stream_group_rows(100) == 2
