@@ -279,9 +279,12 @@ def main():
         link = {"settle_4mb_s": round(settle, 1),
                 "warm_d2h_mb_s": round(warm, 1)}
         if settle > float(os.environ.get("BENCH_MAX_SETTLE", 30)):
-            # degraded relay: a full-size upload would take hours —
-            # measure on a quarter-size matrix instead of hanging
-            n = min(n, 2048)
+            # degraded relay: a full-size run would take hours — shrink
+            # the matrix instead of hanging.  Not below 4096: the MXU
+            # rate scales with block size (measured 100/190/278 M
+            # pairs/s at 2048/4096/8192 tiles), and the e2e fetch at
+            # rel4's 1 B/pair is only ~8 MB even at 4096.
+            n = min(n, 4096)
             link["degraded"] = True
         print(f"[bench] link probe: {link}", file=sys.stderr)
 
