@@ -646,6 +646,10 @@ class _BlockEngine:
         self._overflow_streak = 0
         self._rel_overflow_streak = 0
         self._rel4_overflow_streak = 0
+        # One-shot retarget of the stream diff reference (see
+        # dispatch_stream): tried after the first batch the loaded-side
+        # reference cannot compress.
+        self._stream_ref_retargeted = False
 
     def prepare(self, matrix: np.ndarray, max_block: int,
                 row_tile: Optional[int] = None,
@@ -790,6 +794,31 @@ class _BlockEngine:
             self.diff_up.encode(padded)
             if self.diff_up is not None else None
         )
+        if enc is None and self.diff_up is not None and (
+            not self._stream_ref_retargeted
+        ):
+            # The loaded-side reference rejected this batch, but streamed
+            # records often share ancestry with EACH OTHER (a stream from
+            # a different lineage than the loaded set): retarget the diff
+            # reference once to this batch's own per-column mode.  The
+            # rel baselines ride the same array (the fused fn has one ref
+            # argument), and every group's unpack uses its own fetched
+            # baselines, so swapping between groups stays exact.
+            self._stream_ref_retargeted = True
+            from distance_tpu.ops.diffup import DiffUploader, mode_row
+
+            step = max(1, int(nv2) // 4096)
+            refp = np.zeros(l_pad, dtype=np.uint8)
+            refp[:] = mode_row(
+                np.ascontiguousarray(padded[: int(nv2) : step][:4096])
+            )
+            refp[self.width:] = 0  # keep pad columns zero
+            cand = DiffUploader(refp)
+            enc2 = cand.encode(padded)
+            if enc2 is not None:
+                self.diff_up = cand
+                self.rel_ref = cand.ref_dev()
+                enc = enc2
         if enc is None:
             fn = _jit_stream_fn(
                 self.measure, self.backend, self.ti, rows_pad, n1_pad,

@@ -117,21 +117,34 @@ class DiffUploader:
         # are indistinguishable from pad rows here, and a legitimately
         # all-invalid record encodes as width diffs anyway, never as an
         # accidental pad row (code 0 never equals a nonzero ref entry).
-        neq = padded != self.ref[None, :]
-        flat = np.flatnonzero(neq.reshape(-1)).astype(np.int32)
-        # rows of pure padding contribute ref-row diffs vs zero; exclude
-        # them by construction: find the last row with any nonzero byte
+        # Rows of pure padding contribute ref-row diffs vs zero; exclude
+        # them by construction: find the last row with any nonzero byte.
         nz_rows = np.flatnonzero(padded.any(axis=1))
         n_real = int(nz_rows[-1]) + 1 if nz_rows.size else 0
-        cutoff = n_real * l_pad
-        flat = flat[flat < cutoff]
+        dense_bytes_est = padded.nbytes
+        step = 64
+        if n_real > 2 * step:
+            # sampled pre-check: when even a 2x-optimistic estimate of
+            # the diff volume loses, skip the full-matrix compare
+            srows = padded[:n_real:step]
+            sdiff = int(np.count_nonzero(srows != self.ref[None, :]))
+            est = sdiff * (n_real / srows.shape[0])
+            if est * 5 * self._min_win > 2 * dense_bytes_est:
+                return None
+        neq = padded[:n_real] != self.ref[None, :]
+        # Decide from the cheap COUNT before materializing indices: on a
+        # diverse batch flatnonzero would allocate and fill hundreds of
+        # MB of indices (measured ~22 s per 8k x 30k group) only to be
+        # thrown away by this very test.
+        n_diff = int(np.count_nonzero(neq))
         dense_bytes = padded.nbytes
-        diff_bytes = flat.size * 5 + self.l_pad
+        diff_bytes = n_diff * 5 + self.l_pad
         if diff_bytes * self._min_win > dense_bytes or (
             # int32 linear indices (incl. the OOB pad tail) must not wrap
-            rows_pad * l_pad + _round_cap(flat.size) >= 1 << 31
+            rows_pad * l_pad + _round_cap(n_diff) >= 1 << 31
         ):
             return None
+        flat = np.flatnonzero(neq.reshape(-1)).astype(np.int32)
         vals = padded.reshape(-1)[flat]
         cap = _round_cap(flat.size)
         # pad with strictly-increasing OOB indices so the whole vector

@@ -162,3 +162,52 @@ def test_outofcore_forced(monkeypatch, tmp_path):
     monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
     want = run_engine("raw", f1, backend="xla", tile_i=8, tile_j=8)[0]
     assert got == want
+
+
+@pytest.mark.parametrize("measure", ["n_high", "tn93"])
+def test_stream_ref_retarget_two_lineages(measure, monkeypatch):
+    """Streamed records from a DIFFERENT lineage than the loaded set:
+    the loaded-side diff reference rejects every batch, so the engine
+    retargets the reference once to the first batch's own mode row and
+    later batches diff-encode against it — byte parity throughout."""
+    import distance_tpu.engine as engine
+    from distance_tpu.ops import diffup
+
+    rng = np.random.default_rng(41)
+    width = 384
+    anc1 = rng.choice(list("ACGT"), size=width)
+    anc2 = rng.choice(list("ACGT"), size=width)  # unrelated lineage
+    nxt = {"A": "C", "C": "G", "G": "T", "T": "A"}
+
+    def lineage(anc, n, tag):
+        recs = []
+        for i in range(n):
+            s = anc.copy()
+            for p in rng.choice(width, 4, replace=False):
+                s[p] = nxt[s[p]]
+            recs.append((f"{tag}{i}", "".join(s)))
+        return recs
+
+    f1 = make_fasta(lineage(anc1, 9, "a"))
+    f2 = make_fasta(lineage(anc2, 25, "b"))
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "6")
+    # count encode wins: after the retarget, later groups must encode
+    wins = []
+    real = diffup.DiffUploader.encode
+
+    def spy(self, padded):
+        out = real(self, padded)
+        wins.append(out is not None)
+        return out
+
+    monkeypatch.setattr(diffup.DiffUploader, "encode", spy)
+    got = run_engine(measure, f1, stream=f2, backend="xla", batchsize=3)[0]
+    monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
+    want = run_engine(measure, f1, stream=f2, backend="xla", batchsize=3)[0]
+    assert got == want
+    # somewhere a loaded-ref reject happens (the lineages differ), and
+    # after the retarget every later encode wins (the first True after
+    # the reject is the retarget candidate itself)
+    assert False in wins, wins
+    rej = wins.index(False)
+    assert all(wins[rej + 1:]), wins
