@@ -649,7 +649,10 @@ class _BlockEngine:
         # One-shot retarget of the stream diff reference (see
         # dispatch_stream): tried after the first batch the loaded-side
         # reference cannot compress.
+        import threading
+
         self._stream_ref_retargeted = False
+        self._retarget_lock = threading.Lock()
 
     def prepare(self, matrix: np.ndarray, max_block: int,
                 row_tile: Optional[int] = None,
@@ -707,13 +710,10 @@ class _BlockEngine:
             if self.diff_up is not None:
                 self.rel_ref = self.diff_up.ref_dev()
             else:
-                from distance_tpu.ops.diffup import mode_row
+                from distance_tpu.ops.diffup import sampled_mode_row
 
-                step = max(1, n // 4096)
                 refp = np.zeros(l_pad, dtype=np.uint8)
-                refp[:width] = mode_row(
-                    np.ascontiguousarray(matrix[::step][:4096])
-                )
+                refp[:width] = sampled_mode_row(matrix)
                 if self.sharded:
                     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -766,10 +766,9 @@ class _BlockEngine:
             return None
         if _os.environ.get("DISTANCE_TPU_NO_DIFF_UPLOAD"):
             return None
-        from distance_tpu.ops.diffup import mode_row
+        from distance_tpu.ops.diffup import sampled_mode_row
 
-        step = max(1, source.shape[0] // 4096)
-        return mode_row(np.ascontiguousarray(source[::step][:4096]))
+        return sampled_mode_row(source)
 
     def upload_rows(self, padded: np.ndarray):
         """Upload one padded row batch (stream-mode m2), diff-encoded
@@ -790,50 +789,56 @@ class _BlockEngine:
         n1_pad, l_pad = m1.shape
         nv1, nv2 = nv if nv is not None else (n1_pad, rows_pad)
         nvs = (np.int32(nv1), np.int32(nv2))
-        enc = (
-            self.diff_up.encode(padded)
-            if self.diff_up is not None else None
-        )
-        if enc is None and self.diff_up is not None and (
-            not self._stream_ref_retargeted
-        ):
+        # Snapshot the uploader: dispatch_stream runs on the dispatcher
+        # thread AND on the main thread (redispatch during a saturated
+        # refetch), and the retarget below swaps self.diff_up.  Each
+        # dispatch stays self-consistent by pairing an encoding with ITS
+        # OWN uploader's reference (the fused fn's single ref argument is
+        # both the scatter rebuild base and the rel baseline row; rel
+        # unpack is exact for any ref since baselines travel with the
+        # fetch).
+        up = self.diff_up
+        enc = up.encode(padded) if up is not None else None
+        if enc is None and up is not None and not self._stream_ref_retargeted:
             # The loaded-side reference rejected this batch, but streamed
             # records often share ancestry with EACH OTHER (a stream from
             # a different lineage than the loaded set): retarget the diff
-            # reference once to this batch's own per-column mode.  The
-            # rel baselines ride the same array (the fused fn has one ref
-            # argument), and every group's unpack uses its own fetched
-            # baselines, so swapping between groups stays exact.
-            self._stream_ref_retargeted = True
-            from distance_tpu.ops.diffup import DiffUploader, mode_row
+            # reference once to this batch's own per-column mode.
+            with self._retarget_lock:
+                retarget = not self._stream_ref_retargeted
+                self._stream_ref_retargeted = True
+            if retarget:
+                from distance_tpu.ops.diffup import (
+                    DiffUploader, sampled_mode_row,
+                )
 
-            step = max(1, int(nv2) // 4096)
-            refp = np.zeros(l_pad, dtype=np.uint8)
-            refp[:] = mode_row(
-                np.ascontiguousarray(padded[: int(nv2) : step][:4096])
-            )
-            refp[self.width:] = 0  # keep pad columns zero
-            cand = DiffUploader(refp)
-            enc2 = cand.encode(padded)
-            if enc2 is not None:
-                self.diff_up = cand
-                self.rel_ref = cand.ref_dev()
-                enc = enc2
+                refp = np.zeros(l_pad, dtype=np.uint8)
+                refp[:] = sampled_mode_row(padded[: int(nv2)])
+                refp[self.width:] = 0  # keep pad columns zero
+                cand = DiffUploader(refp)
+                enc2 = cand.encode(padded)
+                if enc2 is not None:
+                    self.diff_up = cand  # later groups start from cand
+                    self.rel_ref = cand.ref_dev()
+                    up, enc = cand, enc2
         if enc is None:
             fn = _jit_stream_fn(
                 self.measure, self.backend, self.ti, rows_pad, n1_pad,
                 mode, self.width, l_pad, None, self.sharded,
             )
             if mode in ("rel", "rel4"):
-                return fn(m1, self.rel_ref, _chunked_h2d(padded), *nvs)
+                # dense path: the ref is only the rel baseline row — any
+                # reference is exact; use the uploader's when present so
+                # ref reuse keeps the jit executable warm
+                ref = up.ref_dev() if up is not None else self.rel_ref
+                return fn(m1, ref, _chunked_h2d(padded), *nvs)
             return fn(m1, _chunked_h2d(padded))
         idx, vals = enc
         fn = _jit_stream_fn(
             self.measure, self.backend, self.ti, rows_pad, n1_pad,
             mode, self.width, l_pad, int(idx.shape[0]), self.sharded,
         )
-        return fn(m1, self.rel_ref if mode in ("rel", "rel4") else
-                  self.diff_up.ref_dev(), idx, vals, *nvs)
+        return fn(m1, up.ref_dev(), idx, vals, *nvs)
 
     @property
     def _rel_usable(self) -> bool:
@@ -2075,6 +2080,7 @@ def _rel_wide_refetch(eng: _BlockEngine, redispatch, vr: int, vc: int,
     if try_rel and eng.rel_ref is not None:
         parts = tuple(np.asarray(a) for a in redispatch("rel"))
         counters, _ = _unpack_rel_parts(eng, parts, vr, vc)
+        eng.note_rel(counters is None)  # the ladder must see rel failing
         if counters is not None:
             return counters
     wide = redispatch("wide" if eng.packed else "none")

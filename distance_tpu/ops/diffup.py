@@ -64,6 +64,13 @@ def _build_fn(rows_pad: int, l_pad: int, cap: int):
     return build
 
 
+def sampled_mode_row(matrix: np.ndarray, cap: int = 4096) -> np.ndarray:
+    """mode_row over an evenly-strided sample of at most ``cap`` rows —
+    the shared recipe for picking diff/rel reference rows cheaply."""
+    step = max(1, matrix.shape[0] // cap)
+    return mode_row(np.ascontiguousarray(matrix[::step][:cap]))
+
+
 def mode_row(matrix: np.ndarray) -> np.ndarray:
     """Per-column modal code over the matrix — the reference row that
     minimizes expected diffs for records sharing its ancestry."""
@@ -121,7 +128,7 @@ class DiffUploader:
         # them by construction: find the last row with any nonzero byte.
         nz_rows = np.flatnonzero(padded.any(axis=1))
         n_real = int(nz_rows[-1]) + 1 if nz_rows.size else 0
-        dense_bytes_est = padded.nbytes
+        dense_bytes = padded.nbytes
         step = 64
         if n_real > 2 * step:
             # sampled pre-check: when even a 2x-optimistic estimate of
@@ -129,7 +136,7 @@ class DiffUploader:
             srows = padded[:n_real:step]
             sdiff = int(np.count_nonzero(srows != self.ref[None, :]))
             est = sdiff * (n_real / srows.shape[0])
-            if est * 5 * self._min_win > 2 * dense_bytes_est:
+            if est * 5 * self._min_win > 2 * dense_bytes:
                 return None
         neq = padded[:n_real] != self.ref[None, :]
         # Decide from the cheap COUNT before materializing indices: on a
@@ -137,7 +144,6 @@ class DiffUploader:
         # MB of indices (measured ~22 s per 8k x 30k group) only to be
         # thrown away by this very test.
         n_diff = int(np.count_nonzero(neq))
-        dense_bytes = padded.nbytes
         diff_bytes = n_diff * 5 + self.l_pad
         if diff_bytes * self._min_win > dense_bytes or (
             # int32 linear indices (incl. the OOB pad tail) must not wrap
