@@ -124,11 +124,9 @@ def main():
     import mmap
     import random as _random
 
-    from distance_tpu import measures
+    from scripts.scale_run import _oracle
 
-    mfun = getattr(measures, {"n": "snp", "n_high": "snp"}.get(
-        measure, measure
-    ))
+    value_of = _oracle(measure)
     with open(out, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         lines = 0
@@ -145,11 +143,10 @@ def main():
                 continue
             sid1, sid2, val = mm[pos:end].decode().split("\t")
             i, r = int(sid1[1:]), int(sid2[1:])
-            want = mfun(loaded_mat[i], streamed_record(r, width, ancestor))
-            from distance_tpu.writer import format_float
-            wstr = str(want) if isinstance(want, (int, np.integer)) \
-                else format_float(float(want))
-            assert val == wstr, (i, r, val, wstr)
+            want = value_of(
+                loaded_mat[i], streamed_record(r, width, ancestor)
+            )
+            assert val == want, (i, r, val, want)
             checked += 1
         mm.close()
     assert lines == total_pairs + 1, (lines, total_pairs + 1)
