@@ -95,6 +95,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_code_hist.argtypes = [p_u8, i64, i64, p_i16, p_u8, p_i32, i64]
     lib.dt_cpu_raw_pairs.argtypes = [p_u8, i64, i64, p_i32, p_i32, i64]
     lib.dt_cpu_raw_pairs.restype = i64
+    lib.dt_diff_count.argtypes = [p_u8, p_u8, i64, i64]
+    lib.dt_diff_count.restype = i64
+    lib.dt_diff_fill.argtypes = [p_u8, p_u8, i64, i64, i64, p_i32, p_u8]
+    lib.dt_diff_fill.restype = i64
     lib.dt_parse_fasta_fill.argtypes = [
         p_u8, i64, i64, i64, p_u8,          # data, len, width, max_recs, enc
         p_u8, ctypes.c_char_p, i64, p_i64,  # matrix, ids, ids_cap, id_offs

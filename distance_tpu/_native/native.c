@@ -412,6 +412,46 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
 }
 
 /* ------------------------------------------------------------------ */
+/* Diff-encoded upload extraction (ops/diffup.py)                      */
+/* ------------------------------------------------------------------ */
+
+/* Count bytes differing from `ref` over `rows` consecutive rows of a
+ * row-major (rows, l) matrix.  Bandwidth-bound single pass; callers
+ * chunk rows across threads (ctypes releases the GIL). */
+int64_t dt_diff_count(const uint8_t *mat, const uint8_t *ref, int64_t rows,
+                      int64_t l) {
+    int64_t total = 0;
+    for (int64_t r = 0; r < rows; r++) {
+        const uint8_t *row = mat + r * l;
+        int64_t c = 0;
+        for (int64_t i = 0; i < l; i++) c += row[i] != ref[i];
+        total += c;
+    }
+    return total;
+}
+
+/* Write (linear index, value) pairs for every byte differing from `ref`
+ * over `rows` consecutive rows; indices are `base + r*l + col` (callers
+ * pass base = first_row * l so indices address the full matrix and the
+ * whole emitted run is ascending).  Returns pairs written. */
+int64_t dt_diff_fill(const uint8_t *mat, const uint8_t *ref, int64_t rows,
+                     int64_t l, int64_t base, int32_t *idx, uint8_t *val) {
+    int64_t w = 0;
+    for (int64_t r = 0; r < rows; r++) {
+        const uint8_t *row = mat + r * l;
+        int64_t rb = base + r * l;
+        for (int64_t i = 0; i < l; i++) {
+            if (row[i] != ref[i]) {
+                idx[w] = (int32_t)(rb + i);
+                val[w] = row[i];
+                w++;
+            }
+        }
+    }
+    return w;
+}
+
+/* ------------------------------------------------------------------ */
 /* CPU reference byte loop (baseline proxy for benchmarking)           */
 /* ------------------------------------------------------------------ */
 

@@ -798,7 +798,7 @@ class _BlockEngine:
         # unpack is exact for any ref since baselines travel with the
         # fetch).
         up = self.diff_up
-        enc = up.encode(padded) if up is not None else None
+        enc = up.encode(padded, n_real=int(nv2)) if up is not None else None
         if enc is None and up is not None and not self._stream_ref_retargeted:
             # The loaded-side reference rejected this batch, but streamed
             # records often share ancestry with EACH OTHER (a stream from
@@ -816,7 +816,7 @@ class _BlockEngine:
                 refp[:] = sampled_mode_row(padded[: int(nv2)])
                 refp[self.width:] = 0  # keep pad columns zero
                 cand = DiffUploader(refp)
-                enc2 = cand.encode(padded)
+                enc2 = cand.encode(padded, n_real=int(nv2))
                 if enc2 is not None:
                     self.diff_up = cand  # later groups start from cand
                     self.rel_ref = cand.ref_dev()

@@ -53,6 +53,35 @@ def test_pad_rows_become_ref(monkeypatch):
     np.testing.assert_array_equal(got[3:], np.tile(ref, (3, 1)))
 
 
+@pytest.mark.parametrize("n_real", [512, 513, 1000])
+@pytest.mark.parametrize("pass_n_real", [True, False])
+def test_native_encode_matches_numpy(n_real, pass_n_real, monkeypatch):
+    # the native (C, threaded) extraction must produce bit-identical
+    # (idx, vals) to the numpy compare+flatnonzero path
+    import distance_tpu._native as native_mod
+    import distance_tpu.ops.diffup as diffup
+
+    assert native_mod.get_lib() is not None, "native lib must build here"
+    rng = np.random.default_rng(n_real)
+    rows_pad, l_pad = ((n_real + 63) // 64) * 64, 384
+    ref = _rand_codes(rng, 1, l_pad)[0]
+    padded = np.zeros((rows_pad, l_pad), dtype=np.uint8)
+    padded[:n_real] = np.tile(ref, (n_real, 1))
+    flat = rng.choice(n_real * l_pad, size=2000, replace=False)
+    for f in flat:
+        r, c = divmod(int(f), l_pad)
+        cur = padded[r, c]
+        padded[r, c] = next(x for x in ALL_CODES if x != cur)
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    kw = {"n_real": n_real} if pass_n_real else {}
+    got = DiffUploader(ref).encode(padded, **kw)
+    monkeypatch.setattr(native_mod, "get_lib", lambda: None)
+    want = DiffUploader(ref).encode(padded, **kw)
+    assert got is not None and want is not None
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
 def test_dense_fallback_on_diverse_batch():
     # no force: a batch with ~every byte differing must take the dense
     # path and still match exactly
@@ -195,8 +224,8 @@ def test_stream_ref_retarget_two_lineages(measure, monkeypatch):
     wins = []
     real = diffup.DiffUploader.encode
 
-    def spy(self, padded):
-        out = real(self, padded)
+    def spy(self, padded, n_real=None):
+        out = real(self, padded, n_real)
         wins.append(out is not None)
         return out
 
