@@ -53,6 +53,9 @@ DEV_BATCH_ROWS = 512
 STREAM_PENDING = int(_os.environ.get("DISTANCE_TPU_STREAM_PENDING", 3))
 # After this many consecutive narrow-pack saturations, dispatch wide.
 NARROW_STICKY_LIMIT = int(_os.environ.get("DISTANCE_TPU_NARROW_STICKY", 2))
+# Consecutive failed stream-reference retargets before the engine stops
+# probing new references (see _BlockEngine.dispatch_stream).
+RETARGET_FAIL_LIMIT = int(_os.environ.get("DISTANCE_TPU_RETARGET_LIMIT", 3))
 # Below this many pair-sites the NumPy path beats device dispatch+compile.
 SMALL_PROBLEM_PAIRSITES = 5e7
 
@@ -498,7 +501,8 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
     import jax.numpy as jnp
 
     from distance_tpu.ops.packing import (
-        pack_device, pack_device_narrow, pack_device_rel, pack_device_rel4,
+        bundle_sidecars, pack_device, pack_device_narrow, pack_device_rel,
+        pack_device_rel4,
     )
 
     plan = get_plan(measure)
@@ -541,9 +545,13 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
                 lanes, exc_idx, exc_val = pack_device_rel4(
                     c, rb, cb, cc, jnp, pad
                 )
-                return lanes, cb, rb_cc, exc_idx, exc_val
+                # one fused D2H for every small array (high-latency
+                # transports charge per request)
+                return lanes, bundle_sidecars(
+                    jnp, cb, rb_cc, exc_idx, exc_val
+                )
             lanes = pack_device_rel(c, rb, cb, cc, jnp)
-            return lanes, cb, rb_cc
+            return lanes, bundle_sidecars(jnp, cb, rb_cc)
         if pack_mode == "narrow":
             return pack_device_narrow(measure, c, width, jnp)
         if pack_mode == "wide":
@@ -571,17 +579,13 @@ def _jit_stream_fn(measure: str, backend: str, ti: int, rows_pad: int,
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if pack_mode in ("rel", "rel4"):
-                shards = [
+                # lanes column-sharded; the fused sidecar bundle is
+                # replicated (tiny, and fetched once)
+                shards = (
                     NamedSharding(mesh, P(None, None, "dp")),
-                    NamedSharding(mesh, P(None, "dp")),
-                    NamedSharding(mesh, P(None, None)),
-                ]
-                if pack_mode == "rel4":  # exception sidecar: replicated
-                    shards += [
-                        NamedSharding(mesh, P(None)),
-                        NamedSharding(mesh, P(None)),
-                    ]
-                return jax.jit(f, out_shardings=tuple(shards))
+                    NamedSharding(mesh, P(None)),
+                )
+                return jax.jit(f, out_shardings=shards)
             return jax.jit(
                 f, out_shardings=NamedSharding(mesh, P(None, None, "dp"))
             )
@@ -646,12 +650,16 @@ class _BlockEngine:
         self._overflow_streak = 0
         self._rel_overflow_streak = 0
         self._rel4_overflow_streak = 0
-        # One-shot retarget of the stream diff reference (see
-        # dispatch_stream): tried after the first batch the loaded-side
-        # reference cannot compress.
+        # Retargeting of the stream diff reference (see dispatch_stream):
+        # whenever the current reference cannot compress a batch, the
+        # engine re-aims it at that batch's own per-column mode — covers
+        # a stream from a different lineage than the loaded set AND
+        # slowly-drifting streams whose early reference goes stale.
+        # Consecutive retargets that still fail to compress stop the
+        # probing (a genuinely diverse stream never wins).
         import threading
 
-        self._stream_ref_retargeted = False
+        self._retarget_fail_streak = 0
         self._retarget_lock = threading.Lock()
 
     def prepare(self, matrix: np.ndarray, max_block: int,
@@ -799,28 +807,32 @@ class _BlockEngine:
         # fetch).
         up = self.diff_up
         enc = up.encode(padded, n_real=int(nv2)) if up is not None else None
-        if enc is None and up is not None and not self._stream_ref_retargeted:
-            # The loaded-side reference rejected this batch, but streamed
-            # records often share ancestry with EACH OTHER (a stream from
-            # a different lineage than the loaded set): retarget the diff
-            # reference once to this batch's own per-column mode.
+        if enc is None and up is not None:
+            # The current reference rejected this batch, but streamed
+            # records often share ancestry with EACH OTHER (a stream
+            # from a different lineage than the loaded set, or one that
+            # drifted away from an earlier reference): retarget the diff
+            # reference to this batch's own per-column mode.  After
+            # RETARGET_FAIL_LIMIT consecutive candidates that also fail
+            # to compress, stop probing — the stream is just diverse.
             with self._retarget_lock:
-                retarget = not self._stream_ref_retargeted
-                self._stream_ref_retargeted = True
-            if retarget:
-                from distance_tpu.ops.diffup import (
-                    DiffUploader, sampled_mode_row,
-                )
+                if self._retarget_fail_streak < RETARGET_FAIL_LIMIT:
+                    from distance_tpu.ops.diffup import (
+                        DiffUploader, sampled_mode_row,
+                    )
 
-                refp = np.zeros(l_pad, dtype=np.uint8)
-                refp[:] = sampled_mode_row(padded[: int(nv2)])
-                refp[self.width:] = 0  # keep pad columns zero
-                cand = DiffUploader(refp)
-                enc2 = cand.encode(padded, n_real=int(nv2))
-                if enc2 is not None:
-                    self.diff_up = cand  # later groups start from cand
-                    self.rel_ref = cand.ref_dev()
-                    up, enc = cand, enc2
+                    refp = np.zeros(l_pad, dtype=np.uint8)
+                    refp[:] = sampled_mode_row(padded[: int(nv2)])
+                    refp[self.width:] = 0  # keep pad columns zero
+                    cand = DiffUploader(refp)
+                    enc2 = cand.encode(padded, n_real=int(nv2))
+                    if enc2 is not None:
+                        self._retarget_fail_streak = 0
+                        self.diff_up = cand  # later groups start here
+                        self.rel_ref = cand.ref_dev()
+                        up, enc = cand, enc2
+                    else:
+                        self._retarget_fail_streak += 1
         if enc is None:
             fn = _jit_stream_fn(
                 self.measure, self.backend, self.ti, rows_pad, n1_pad,
@@ -1184,15 +1196,19 @@ def _choose_tiles(
         import jax
 
         ndev = jax.device_count()
-        if ndev > 1 and tj % ndev:
-            # Multi-chip pair-DP shards each block's column axis across
-            # the mesh; a non-divisible tile would silently fall back to
-            # one device, so round the tile up instead (padding keeps
-            # slices in bounds; output bytes are tile-size independent).
-            adj = -(-tj // ndev) * ndev
+        # Multi-chip pair-DP shards each block's column axis across the
+        # mesh; a non-divisible tile would silently fall back to one
+        # device, so round the tile up instead (padding keeps slices in
+        # bounds; output bytes are tile-size independent).  The multiple
+        # is 2*ndev, not ndev: rel4 nibble lanes halve the column axis,
+        # and the halved axis must still divide the mesh or the cheapest
+        # packing rung would be lost under GSPMD.
+        mult = 2 * ndev
+        if ndev > 1 and tj % mult:
+            adj = -(-tj // mult) * mult
             print(
                 f"[distance-tpu] note: tile_j {tj} -> {adj}"
-                f" (multiple of {ndev} devices)",
+                f" (multiple of 2 x {ndev} devices)",
                 file=sys.stderr,
             )
             tj = adj
@@ -1325,12 +1341,35 @@ def _chunked_h2d(arr: np.ndarray):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _bundle_jits():
+    """Jitted sidecar fusers (one per arity); jax retraces per shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from distance_tpu.ops.packing import bundle_sidecars
+
+    @jax.jit
+    def f3(cb, rb_cc):
+        return bundle_sidecars(jnp, cb, rb_cc)
+
+    @jax.jit
+    def f5(cb, rb_cc, exc_idx, exc_val):
+        return bundle_sidecars(jnp, cb, rb_cc, exc_idx, exc_val)
+
+    return f3, f5
+
+
 def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
                     mode: Optional[str] = None, nv=None, diag_off=None):
     """Dispatch all column blocks of one strip; device-concat the packed
     outputs into a single (P, ti, span) handle (one logical transfer).
-    rel-packed blocks yield (lanes, cb, rb_cc) triples: lanes/cb concat
-    along the column axis, rb_cc is strip-constant (first copy kept)."""
+    rel-packed blocks yield (lanes, cb, rb_cc[, exceptions]) tuples:
+    lanes/cb concat along the column axis, rb_cc is strip-constant
+    (first copy kept), per-block (CAP,) exception sidecars stack to
+    (B, CAP) with block-local indices (host translates by tj).  All the
+    small arrays then fuse into ONE sidecar bundle so the strip costs
+    two D2H requests total (lanes + bundle)."""
     handles = [
         eng.block(m1, m2, i0, j0, ti, tj, mode, nv, diag_off)
         for j0 in col_starts
@@ -1341,20 +1380,21 @@ def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
 
     if isinstance(handles[0], tuple):
         if len(handles) == 1:
-            return handles[0]
-        out = (
-            jnp.concatenate([h[0] for h in handles], axis=-1),
-            jnp.concatenate([h[1] for h in handles], axis=-1),
-            handles[0][2],
-        )
-        if len(handles[0]) == 5:
-            # rel4 exception sidecars: one (CAP,) pair per block, stacked
-            # (B, CAP); indices are block-local (host translates by tj)
-            out += (
-                jnp.stack([h[3] for h in handles]),
-                jnp.stack([h[4] for h in handles]),
+            parts = handles[0]
+        else:
+            parts = (
+                jnp.concatenate([h[0] for h in handles], axis=-1),
+                jnp.concatenate([h[1] for h in handles], axis=-1),
+                handles[0][2],
             )
-        return out
+            if len(handles[0]) == 5:
+                parts += (
+                    jnp.stack([h[3] for h in handles]),
+                    jnp.stack([h[4] for h in handles]),
+                )
+        f3, f5 = _bundle_jits()
+        bundle = f5(*parts[1:]) if len(parts) == 5 else f3(*parts[1:])
+        return parts[0], bundle
     return jnp.concatenate(handles, axis=-1) if len(handles) > 1 else handles[0]
 
 
@@ -1380,10 +1420,18 @@ def _fetch_strip(
     if eng.backend == "numpy":
         return arr
     if isinstance(arr, tuple):
-        # rel pack (lanes, cb, rb_cc[, exceptions]); maybe device arrays
+        # rel pack (lanes, bundle) or (lanes, cb, rb_cc[, exceptions]);
+        # maybe device arrays
         parts = tuple(
             a if isinstance(a, np.ndarray) else np.asarray(a) for a in arr
         )
+        if len(parts) == 2:
+            from distance_tpu.ops.packing import unbundle_sidecars
+
+            cb_, rb_cc_, ei, ev = unbundle_sidecars(parts[1])
+            parts = (parts[0], cb_, rb_cc_) + (
+                (ei, ev) if ei is not None else ()
+            )
         vr = parts[0].shape[1] if valid_rows is None else valid_rows
         vc = parts[1].shape[1] if valid_cols is None else valid_cols
         counters, was4 = _unpack_rel_parts(eng, parts, vr, vc)
@@ -2023,18 +2071,25 @@ def _start_stream_fetch(out):
 
 
 def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
-    """Crop a rel-packed fetch (a (lanes, cb, rb_cc) triple, or a
-    5-tuple with the rel4 exception sidecar) to the valid region and
-    reconstruct int32 counters.  Returns (counters_or_None, was_rel4);
-    counters is None on lane saturation (sidecar overflow under rel4).
+    """Crop a rel-packed fetch — (lanes, bundle) with the fused sidecar
+    bundle, or an unbundled (lanes, cb, rb_cc[, exc_idx, exc_val])
+    tuple — to the valid region and reconstruct int32 counters.
+    Returns (counters_or_None, was_rel4); counters is None on lane
+    saturation (sidecar overflow under rel4).
 
     rel4 lanes expand to full-width residuals first: exception indices
     address the padded tensor, and a strip's sidecars are per-block
     ((B, CAP) int32, block-local flat indices into (G, ti, tj))."""
     from distance_tpu.ops.packing import (
-        REL4_SAT, finish_host_rel4, unpack_host_rel, unpack_rel4_nibbles,
+        REL4_SAT, finish_host_rel4, unbundle_sidecars, unpack_host_rel,
+        unpack_rel4_nibbles,
     )
 
+    if len(parts) == 2:
+        cb_, rb_cc_, ei, ev = unbundle_sidecars(parts[1])
+        parts = (parts[0], cb_, rb_cc_) + (
+            (ei, ev) if ei is not None else ()
+        )
     lanes, cb, rb_cc = parts[:3]
     rb, cc = rb_cc[:, :vr], rb_cc[:, -1]
     if len(parts) == 5:

@@ -252,6 +252,66 @@ def finish_host_rel4(
     return res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
 
 
+# ---------------------------------------------------------------------------
+# Sidecar bundling: one D2H request for all small rel-family arrays
+# ---------------------------------------------------------------------------
+#
+# A rel-packed fetch moves one large lanes tensor plus several small
+# int32 arrays (column baselines, row baselines + self-counter, and the
+# rel4 exception sidecar).  High-latency transports charge per REQUEST,
+# so the small arrays are fused device-side into a single self-
+# describing 1-D int32 "bundle" and split again on host.
+
+SIDECAR_MAGIC = 0x52454C42  # 'RELB'
+_HDR = 6  # [magic, G, ti, span, exc_b, cap]
+
+
+def bundle_sidecars(xp, cb, rb_cc, exc_idx=None, exc_val=None):
+    """Fuse the small rel-family arrays into one 1-D int32 vector.
+
+    ``cb``: (G, span) column baselines; ``rb_cc``: (G, ti+1) row
+    baselines + self-counter; optional rel4 exception sidecar
+    ``exc_idx``/``exc_val``: (CAP,) or (B, CAP) block-stacked.  A
+    (CAP,) sidecar is recorded as B=1 — block-local index math with one
+    block spanning all columns is the identity mapping.
+    """
+    g, span = cb.shape
+    ti = rb_cc.shape[1] - 1
+    if exc_idx is None:
+        exc_b = cap = 0
+        tail = []
+    else:
+        exc_b = 1 if exc_idx.ndim == 1 else int(exc_idx.shape[0])
+        cap = int(exc_idx.shape[-1])
+        tail = [exc_idx.reshape(-1), exc_val.reshape(-1)]
+    header = xp.asarray(
+        np.array([SIDECAR_MAGIC, g, ti, span, exc_b, cap], dtype=np.int32)
+    )
+    return xp.concatenate(
+        [header, cb.reshape(-1), rb_cc.reshape(-1), *tail]
+    ).astype(xp.int32)
+
+
+def unbundle_sidecars(flat: np.ndarray):
+    """Split a fetched bundle back into (cb, rb_cc, exc_idx, exc_val);
+    the exception entries are None for plain rel."""
+    h = flat[:_HDR]
+    if int(h[0]) != SIDECAR_MAGIC:
+        raise ValueError("not a sidecar bundle")
+    g, ti, span, exc_b, cap = (int(v) for v in h[1:])
+    o = _HDR
+    cb = flat[o : o + g * span].reshape(g, span)
+    o += g * span
+    rb_cc = flat[o : o + g * (ti + 1)].reshape(g, ti + 1)
+    o += g * (ti + 1)
+    if not exc_b:
+        return cb, rb_cc, None, None
+    exc_idx = flat[o : o + exc_b * cap].reshape(exc_b, cap)
+    o += exc_b * cap
+    exc_val = flat[o : o + exc_b * cap].reshape(exc_b, cap)
+    return cb, rb_cc, exc_idx, exc_val
+
+
 def unpack_host_narrow(
     measure: str, packed: np.ndarray, width: int
 ) -> Optional[np.ndarray]:

@@ -240,3 +240,76 @@ def test_stream_ref_retarget_two_lineages(measure, monkeypatch):
     assert False in wins, wins
     rej = wins.index(False)
     assert all(wins[rej + 1:]), wins
+
+
+def test_stream_ref_retarget_drifting_lineages(monkeypatch):
+    """A stream that SWITCHES lineage mid-way: the first retargeted
+    reference goes stale, and the engine must retarget again (periodic,
+    not one-shot) so later groups keep diff-encoding — byte parity
+    throughout."""
+    from distance_tpu.ops import diffup
+
+    rng = np.random.default_rng(43)
+    width = 384
+    ancs = [rng.choice(list("ACGT"), size=width) for _ in range(3)]
+    nxt = {"A": "C", "C": "G", "G": "T", "T": "A"}
+
+    def lineage(anc, n, tag):
+        recs = []
+        for i in range(n):
+            s = anc.copy()
+            for p in rng.choice(width, 4, replace=False):
+                s[p] = nxt[s[p]]
+            recs.append((f"{tag}{i}", "".join(s)))
+        return recs
+
+    f1 = make_fasta(lineage(ancs[0], 9, "a"))
+    # stream: two groups of lineage b, then two groups of lineage c
+    f2 = make_fasta(lineage(ancs[1], 12, "b") + lineage(ancs[2], 12, "c"))
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "6")
+    wins = []
+    real = diffup.DiffUploader.encode
+
+    def spy(self, padded, n_real=None):
+        out = real(self, padded, n_real)
+        wins.append(out is not None)
+        return out
+
+    monkeypatch.setattr(diffup.DiffUploader, "encode", spy)
+    got = run_engine("n_high", f1, stream=f2, backend="xla", batchsize=3)[0]
+    monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
+    want = run_engine("n_high", f1, stream=f2, backend="xla", batchsize=3)[0]
+    assert got == want
+    # two rejects (one per lineage switch), each followed by a winning
+    # retarget candidate; every group ends up diff-encoded
+    assert wins.count(False) == 2, wins
+    assert wins[-1] is True and len(wins) >= 6, wins
+
+
+def test_stream_retarget_gives_up_on_diverse_stream(monkeypatch):
+    """A genuinely diverse stream: every retarget candidate also fails,
+    so probing stops after RETARGET_FAIL_LIMIT consecutive failures
+    (no per-group mode_row cost forever) and output stays exact."""
+    import distance_tpu.engine as engine
+    from distance_tpu.ops import diffup
+    from tests.conftest import make_fasta as mf, random_seqs
+
+    rng = np.random.default_rng(44)
+    f1 = mf(random_seqs(rng, 6, 400, amb_frac=0.05))
+    f2 = mf(random_seqs(rng, 30, 400, amb_frac=0.05))
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "6")
+    calls = []
+    real = diffup.sampled_mode_row
+
+    def spy(matrix, cap=4096):
+        calls.append(matrix.shape)
+        return real(matrix, cap)
+
+    monkeypatch.setattr(diffup, "sampled_mode_row", spy)
+    got = run_engine("raw", f1, stream=f2, backend="xla", batchsize=3)[0]
+    monkeypatch.setenv("DISTANCE_TPU_NO_DIFF_UPLOAD", "1")
+    want = run_engine("raw", f1, stream=f2, backend="xla", batchsize=3)[0]
+    assert got == want
+    # 1 call for the loaded-side reference + at most RETARGET_FAIL_LIMIT
+    # failed retarget probes across 5 groups
+    assert len(calls) <= 1 + engine.RETARGET_FAIL_LIMIT, calls

@@ -410,3 +410,35 @@ def test_engine_square_rel_saturation_unpacked_width(monkeypatch):
     got, _ = run_engine("raw", f1, backend="xla", tile_i=4, tile_j=6)
     assert got == expected_square("raw", f1)
     assert outcomes and not any(outcomes)
+
+
+@pytest.mark.parametrize("with_exc", [False, True])
+@pytest.mark.parametrize("exc_shape", ["flat", "stacked"])
+def test_sidecar_bundle_roundtrip(with_exc, exc_shape):
+    """bundle_sidecars/unbundle_sidecars must be a lossless pair for
+    both the plain-rel (no exceptions) and rel4 layouts."""
+    from distance_tpu.ops.packing import bundle_sidecars, unbundle_sidecars
+
+    rng = np.random.default_rng(3)
+    g, ti, span, cap = 2, 5, 12, 6
+    cb = rng.integers(-1000, 1000, size=(g, span)).astype(np.int32)
+    rb_cc = rng.integers(-1000, 1000, size=(g, ti + 1)).astype(np.int32)
+    if with_exc:
+        b = 3 if exc_shape == "stacked" else 1
+        ei = rng.integers(-1, 50, size=(b, cap)).astype(np.int32)
+        ev = rng.integers(-200, 200, size=(b, cap)).astype(np.int32)
+        flat = bundle_sidecars(
+            np, cb, rb_cc,
+            ei[0] if exc_shape == "flat" else ei,
+            ev[0] if exc_shape == "flat" else ev,
+        )
+        cb2, rb2, ei2, ev2 = unbundle_sidecars(flat)
+        np.testing.assert_array_equal(ei2, ei)
+        np.testing.assert_array_equal(ev2, ev)
+    else:
+        flat = bundle_sidecars(np, cb, rb_cc)
+        cb2, rb2, ei2, ev2 = unbundle_sidecars(flat)
+        assert ei2 is None and ev2 is None
+    assert flat.ndim == 1 and flat.dtype == np.int32
+    np.testing.assert_array_equal(cb2, cb)
+    np.testing.assert_array_equal(rb2, rb_cc)

@@ -102,3 +102,39 @@ def test_engine_stream_shards_over_devices(monkeypatch):
         got, _ = run_engine(measure, f1, stream=f2, backend="xla")
         want, _ = run_engine(measure, f1, stream=f2, backend="numpy")
         assert got == want, measure
+
+
+def test_tile_rounding_keeps_rel4_shardable(monkeypatch):
+    """A tile_j that divides the mesh but whose HALF does not (40 on 8
+    devices) would silently lose the rel4 packing rung under GSPMD;
+    _choose_tiles must round it to a multiple of 2*ndev and the engine
+    must keep rel4 usable — with byte parity."""
+    import jax
+
+    if jax.device_count() != 8:
+        pytest.skip("needs 8 virtual devices")
+    import distance_tpu.engine as engine
+    from tests.conftest import make_fasta
+    from tests.test_golden import expected_square, run_engine
+
+    setup = engine.Setup.__new__(engine.Setup)
+    setup.tile_i, setup.tile_j = 8, 40
+    ti, tj = engine._choose_tiles(64, 64, setup, backend="xla")
+    assert tj == 48 and (tj // 2) % 8 == 0
+
+    eng = engine._BlockEngine("raw", "xla", 8, 48, 120)
+    assert eng.sharded and eng._rel4_shard_ok
+
+    # end-to-end: low-diversity fixture so the ladder actually picks
+    # rel4; user tile 40 rounds up and bytes still match the oracle
+    rng = np.random.default_rng(77)
+    anc = rng.choice(list("ACGT"), size=120)
+    recs = []
+    for i in range(30):
+        s = anc.copy()
+        for p in rng.choice(120, 2, replace=False):
+            s[p] = "ACGT"[(("ACGT".index(s[p])) + 1) % 4]
+        recs.append((f"s{i}", "".join(s)))
+    fasta = make_fasta(recs)
+    got, _ = run_engine("raw", fasta, backend="xla", tile_i=8, tile_j=40)
+    assert got == expected_square("raw", fasta)
