@@ -95,6 +95,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_code_hist.argtypes = [p_u8, i64, i64, p_i16, p_u8, p_i32, i64]
     lib.dt_cpu_raw_pairs.argtypes = [p_u8, i64, i64, p_i32, p_i32, i64]
     lib.dt_cpu_raw_pairs.restype = i64
+    p_i8 = ctypes.POINTER(ctypes.c_int8)
+    lib.dt_rel4_expand_add.argtypes = [
+        p_i8, i64, i64, i64, p_i32, p_i32, ctypes.c_int32, i64, p_i32,
+    ]
+    lib.dt_rel4_expand_add.restype = i64
     lib.dt_diff_count.argtypes = [p_u8, p_u8, i64, i64]
     lib.dt_diff_count.restype = i64
     lib.dt_diff_fill.argtypes = [p_u8, p_u8, i64, i64, i64, p_i32, p_u8]

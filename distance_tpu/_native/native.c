@@ -451,6 +451,41 @@ int64_t dt_diff_fill(const uint8_t *mat, const uint8_t *ref, int64_t rows,
     return w;
 }
 
+/* rel4 host finish (ops/packing.py): expand one channel's 4-bit lane
+ * rows [r0, r1) into int32 counters with the rank-1 baseline applied,
+ * cropped to vc columns.  Returns the number of -8 sentinels seen in
+ * the cropped region (the caller patches exception positions afterwards
+ * and treats any remainder as saturation).  Replaces a 4-pass numpy
+ * dance (nibble expand, sentinel mask, baseline broadcast add) with one
+ * bandwidth-bound pass; callers chunk rows across threads. */
+int64_t dt_rel4_expand_add(const int8_t *lanes, int64_t cols_half,
+                           int64_t r0, int64_t r1, const int32_t *rb,
+                           const int32_t *cb, int32_t cc, int64_t vc,
+                           int32_t *out) {
+    int64_t sent = 0;
+    for (int64_t r = r0; r < r1; r++) {
+        const uint8_t *lr = (const uint8_t *)lanes + r * cols_half;
+        int32_t rbv = rb[r] - cc;
+        int32_t *orow = out + r * vc;
+        for (int64_t ch = 0; ch < cols_half; ch++) {
+            uint8_t b = lr[ch];
+            int64_t col = 2 * ch;
+            if (col >= vc) break;
+            int32_t lo = b & 0xF;
+            lo -= (lo > 7) * 16; /* sign-extend the nibble */
+            sent += (lo == -8);
+            orow[col] = lo + rbv + cb[col];
+            if (col + 1 < vc) {
+                int32_t hi = (b >> 4) & 0xF;
+                hi -= (hi > 7) * 16;
+                sent += (hi == -8);
+                orow[col + 1] = hi + rbv + cb[col + 1];
+            }
+        }
+    }
+    return sent;
+}
+
 /* ------------------------------------------------------------------ */
 /* CPU reference byte loop (baseline proxy for benchmarking)           */
 /* ------------------------------------------------------------------ */

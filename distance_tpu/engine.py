@@ -1983,25 +1983,37 @@ def _run_stream(setup: Setup) -> None:
             return
         with phase_timer("stream-group-build"):
             ids2 = [i for b in group for i in b.ids]
-            mat = np.concatenate([b.matrix for b in group], axis=0)
             bcounts = (
                 np.concatenate([b.base_counts for b in group], axis=0)
                 if group[0].base_counts is not None
                 else None
             )
-        group, group_rows = [], 0
-        bn = mat.shape[0]
+        bn = sum(b.matrix.shape[0] for b in group)
         with phase_timer("stream-upload"):
-            offs = split.offsets(mat) if split is not None else None
-            mat_dev = (
-                np.ascontiguousarray(mat[:, split.keep])
-                if split is not None else mat
-            )
+            # Fill the padded device buffer straight from the parsed
+            # batches — one pass instead of concatenate + pad (two full
+            # copies of a ~250 MB group and an extra transient).
             rows_pad = -(-bn // grows) * grows
-            padded = _pad_to(
-                mat_dev, rows_pad,
-                width_dev if backend == "numpy" else m1.shape[1],
+            l_dev = width_dev if backend == "numpy" else m1.shape[1]
+            padded = np.zeros((rows_pad, l_dev), dtype=np.uint8)
+            offs_parts = []
+            r = 0
+            for b in group:
+                m = b.matrix
+                if split is not None:
+                    offs_parts.append(split.offsets(m))
+                    m = m[:, split.keep]
+                padded[r : r + m.shape[0], : m.shape[1]] = m
+                r += m.shape[0]
+            offs = (
+                {
+                    k: np.concatenate([p[k] for p in offs_parts])
+                    for k in offs_parts[0]
+                }
+                if split is not None
+                else None
             )
+        group, group_rows = [], 0
 
         if backend == "numpy":
             def dispatch(padded=padded, rows_pad=rows_pad, mode=None):
@@ -2094,6 +2106,17 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
     rb, cc = rb_cc[:, :vr], rb_cc[:, -1]
     if len(parts) == 5:
         exc_idx, exc_val = parts[3], parts[4]
+        from distance_tpu._native import get_lib
+
+        lib = get_lib()
+        if (
+            lib is not None
+            and isinstance(lanes, np.ndarray)
+            and lanes.flags.c_contiguous
+        ):
+            return _rel4_finish_native(
+                lib, lanes, rb, cb, cc, exc_idx, exc_val, vr, vc
+            ), True
         res = unpack_rel4_nibbles(lanes)  # full padded (G, rows, span)
         # -8 is saturation ONLY where no exception patches it (a patched
         # residual may legitimately be -8)
@@ -2124,6 +2147,66 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
         unpack_host_rel(lanes[:, :vr, :vc], rb, cb[:, :vc], cc),
         False,
     )
+
+
+def _rel4_finish_native(lib, lanes, rb, cb, cc, exc_idx, exc_val,
+                        vr: int, vc: int):
+    """Native rel4 finish: one GIL-released C pass per row chunk expands
+    the nibble lanes, applies the rank-1 baseline, and counts -8
+    sentinels in the cropped region; exception positions are then
+    patched vectorized on host (each was emitted as a sentinel, so
+    sentinels minus patched positions = genuine saturations).  Returns
+    (G, vr, vc) int32 counters, or None on saturation (caller refetches).
+    Bit-identical to the numpy path (tests/test_packing.py)."""
+    import ctypes
+
+    from distance_tpu.ops.diffup import _get_pool, _row_chunks
+
+    g_n, rows, ch = lanes.shape
+    out = np.empty((g_n, vr, vc), dtype=np.int32)
+    rb_c = np.ascontiguousarray(rb, dtype=np.int32)         # (G, vr)
+    cb_c = np.ascontiguousarray(cb[:, :vc], dtype=np.int32)  # (G, vc)
+    p_i8 = ctypes.POINTER(ctypes.c_int8)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    pool = _get_pool()
+    chunks = _row_chunks(vr, pool._max_workers)
+
+    def run(task):
+        g, (r0, r1) = task
+        return lib.dt_rel4_expand_add(
+            lanes[g].ctypes.data_as(p_i8), ch, r0, r1,
+            rb_c[g].ctypes.data_as(p_i32), cb_c[g].ctypes.data_as(p_i32),
+            ctypes.c_int32(int(cc[g])), vc,
+            out[g].ctypes.data_as(p_i32),
+        )
+
+    tasks = [(g, span) for g in range(g_n) for span in chunks]
+    sent = sum(pool.map(run, tasks) if len(tasks) > 1 else [run(tasks[0])])
+
+    patched = 0
+    ei = exc_idx if exc_idx.ndim == 2 else exc_idx[None]
+    ev = exc_val if exc_val.ndim == 2 else exc_val[None]
+    span_res = 2 * ch
+    tj = span_res // ei.shape[0]
+    for b in range(ei.shape[0]):
+        idx = ei[b]
+        sel = idx >= 0
+        idx = idx[sel].astype(np.int64)
+        if not idx.size:
+            continue
+        g = idx // (rows * tj)
+        rem = idx % (rows * tj)
+        r, c = rem // tj, rem % tj
+        gcol = b * tj + c
+        m = (r < vr) & (gcol < vc)
+        g, r, gcol = g[m], r[m], gcol[m]
+        out[g, r, gcol] = (
+            ev[b][sel][m] + rb_c[g, r] + cb_c[g, gcol] - cc[g]
+        )
+        patched += int(m.sum())
+    if sent - patched:
+        return None
+    return out
 
 
 def _rel_wide_refetch(eng: _BlockEngine, redispatch, vr: int, vc: int,

@@ -346,11 +346,13 @@ def _wide_private_fasta(n, per_record):
 
 def _count_rel_unpacks(monkeypatch):
     """Record every rel-family unpack outcome (True = lanes held)."""
+    import distance_tpu.engine as engine
     from distance_tpu.ops import packing
 
     outcomes = []
     real8 = packing.unpack_host_rel
     real4 = packing.finish_host_rel4
+    real4n = engine._rel4_finish_native
 
     def counting8(*a, **kw):
         out = real8(*a, **kw)
@@ -362,8 +364,14 @@ def _count_rel_unpacks(monkeypatch):
         outcomes.append(out is not None)
         return out
 
+    def counting4n(*a, **kw):
+        out = real4n(*a, **kw)
+        outcomes.append(out is not None)
+        return out
+
     monkeypatch.setattr(packing, "unpack_host_rel", counting8)
     monkeypatch.setattr(packing, "finish_host_rel4", counting4)
+    monkeypatch.setattr(engine, "_rel4_finish_native", counting4n)
     return outcomes
 
 
@@ -395,9 +403,16 @@ def test_engine_square_rel_saturation_unpacked_width(monkeypatch):
     """Fully random records overlap the reference divergences on far
     more than 127 columns at this width, so rel blocks saturate; the
     refetch rung at unpacked widths is raw int32 ("none") and bytes
-    still match the oracle."""
+    still match the oracle.
+
+    The rel4 exception sidecar is shrunk for the test: at full size
+    (16k entries) it legitimately patches every outlier of a tiny
+    4x16 block and rel4 *succeeds* — the production-size analog of a
+    saturating block is one with more outliers than sidecar slots."""
+    from distance_tpu.ops import packing
     from tests.test_golden import expected_square, run_engine
 
+    monkeypatch.setattr(packing, "REL4_SEGMENTS", 4)
     rng = np.random.default_rng(58)
     width = PACK_LIMIT + 2048
     recs = []
@@ -442,3 +457,73 @@ def test_sidecar_bundle_roundtrip(with_exc, exc_shape):
     assert flat.ndim == 1 and flat.dtype == np.int32
     np.testing.assert_array_equal(cb2, cb)
     np.testing.assert_array_equal(rb2, rb_cc)
+
+
+@pytest.mark.parametrize("layout", ["stream", "strip"])
+@pytest.mark.parametrize("saturate", [False, True])
+def test_rel4_finish_native_matches_numpy(layout, saturate):
+    """engine._rel4_finish_native must reproduce the numpy finish
+    (nibble expand + exception patch + baseline add) bit-for-bit,
+    including the saturation -> None outcome."""
+    import distance_tpu._native as native_mod
+    import distance_tpu.engine as engine
+
+    lib = native_mod.get_lib()
+    assert lib is not None
+    rng = np.random.default_rng(11)
+    g_n, rows, cols = 3, 40, 64
+    vr, vc = 37, 61
+    res = rng.integers(-6, 7, size=(g_n, rows, cols)).astype(np.int32)
+    # outliers beyond nibble range (the exception sidecar path)
+    n_out = 5
+    pos = rng.choice(g_n * rows * cols, size=n_out, replace=False)
+    res.reshape(-1)[pos] = rng.choice([-30, 25, -8, 100], size=n_out)
+    if saturate:
+        # >= 3 outliers in one 8192-segment region: with this tensor
+        # smaller than one segment, three outliers anywhere saturate
+        res.reshape(-1)[:3] = 99
+    rb = rng.integers(0, 50, size=(g_n, rows)).astype(np.int32)
+    cb = rng.integers(0, 50, size=(g_n, cols)).astype(np.int32)
+    cc = rng.integers(0, 50, size=g_n).astype(np.int32)
+    c = res + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
+    from distance_tpu.ops.packing import pack_device_rel4
+
+    lanes, ei, ev = pack_device_rel4(c, rb, cb, cc, np)
+    if layout == "strip":
+        # two blocks stacked: re-dispatch each half as its own block
+        tj = cols // 2
+        parts = [
+            pack_device_rel4(
+                np.ascontiguousarray(c[:, :, b * tj:(b + 1) * tj]),
+                rb,
+                np.ascontiguousarray(cb[:, b * tj:(b + 1) * tj]),
+                cc, np,
+            )
+            for b in range(2)
+        ]
+        lanes = np.concatenate([p[0] for p in parts], axis=-1)
+        ei = np.stack([p[1] for p in parts])
+        ev = np.stack([p[2] for p in parts])
+
+    rb_cc = np.concatenate([rb, cc[:, None]], axis=1)
+    eng = object()  # _unpack_rel_parts ignores eng for rel4
+    got, was4 = engine._unpack_rel_parts(
+        eng, (lanes, cb, rb_cc, ei, ev), vr, vc
+    )
+    import distance_tpu._native as nm
+
+    real = nm.get_lib
+    nm.get_lib = lambda: None
+    try:
+        want, _ = engine._unpack_rel_parts(
+            eng, (lanes, cb, rb_cc, ei, ev), vr, vc
+        )
+    finally:
+        nm.get_lib = real
+    assert was4
+    if want is None or got is None:
+        assert want is None and got is None
+        assert saturate
+    else:
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, c[:, :vr, :vc])
