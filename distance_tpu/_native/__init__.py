@@ -96,6 +96,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_cpu_raw_pairs.argtypes = [p_u8, i64, i64, p_i32, p_i32, i64]
     lib.dt_cpu_raw_pairs.restype = i64
     p_i8 = ctypes.POINTER(ctypes.c_int8)
+    lib.dt_transpose_add_i32.argtypes = [
+        p_i32, i64, i64, i64, i64, p_i32, p_i32,
+    ]
+    lib.dt_transpose_add_i32.restype = None
     lib.dt_rel4_expand_add.argtypes = [
         p_i8, i64, i64, i64, p_i32, p_i32, ctypes.c_int32, i64, p_i32,
     ]

@@ -486,6 +486,32 @@ int64_t dt_rel4_expand_add(const int8_t *lanes, int64_t cols_half,
     return sent;
 }
 
+/* Blocked int32 transpose with a per-output-row additive offset: for
+ * c in [c0, c1), r in [0, rows): out[c*rows + r] = in[r*in_stride + c]
+ * + add[c].  Stream emission is streamed-major but counters arrive
+ * loaded-major; this replaces numpy's strided transpose copy plus a
+ * broadcast add (two full passes) with one cache-blocked pass.  Callers
+ * chunk [c0, c1) across threads. */
+void dt_transpose_add_i32(const int32_t *in, int64_t rows,
+                          int64_t in_stride, int64_t c0, int64_t c1,
+                          const int32_t *add, int32_t *out) {
+    const int64_t B = 64;
+    for (int64_t cb = c0; cb < c1; cb += B) {
+        int64_t ce = cb + B < c1 ? cb + B : c1;
+        for (int64_t rb = 0; rb < rows; rb += B) {
+            int64_t re = rb + B < rows ? rb + B : rows;
+            for (int64_t c = cb; c < ce; c++) {
+                int32_t a = add[c];
+                int32_t *orow = out + c * rows;
+                const int32_t *icol = in + c;
+                for (int64_t r = rb; r < re; r++) {
+                    orow[r] = icol[r * in_stride] + a;
+                }
+            }
+        }
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* CPU reference byte loop (baseline proxy for benchmarking)           */
 /* ------------------------------------------------------------------ */

@@ -1926,18 +1926,17 @@ def _run_stream(setup: Setup) -> None:
         with phase_timer("stream-gather"):
             local_cols = np.repeat(np.arange(bn, dtype=np.int32), n1)
             row_idx = np.tile(np.arange(n1, dtype=np.int32), bn)
-            # streamed-major emission == the transposed (bn, n1) flat view
+            # streamed-major emission == the transposed (bn, n1) flat
+            # view, plus each record's invariant-column contribution
+            # (the variant-split offset, same value for every loaded
+            # row) — one native blocked pass per counter
             counters = {
-                name: np.ascontiguousarray(strip[k, :n1, :bn].T).reshape(-1)
+                name: _transpose_add(
+                    strip[k], n1, bn,
+                    offs[name][:bn] if offs is not None else None,
+                )
                 for k, name in enumerate(plan.counters)
             }
-            if offs is not None:
-                # re-add each record's invariant-column contribution (same
-                # value for every loaded row of that record)
-                counters = {
-                    name: counters[name] + np.repeat(offs[name][:bn], n1)
-                    for name in counters
-                }
         bc = None
         if setup.measure == "tn93":
             # loaded side indexed by row_idx, streamed side by local_cols
@@ -2147,6 +2146,53 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
         unpack_host_rel(lanes[:, :vr, :vc], rb, cb[:, :vc], cc),
         False,
     )
+
+
+def _transpose_add(mat: np.ndarray, n1: int, bn: int,
+                   add: Optional[np.ndarray]) -> np.ndarray:
+    """(n1_pad, rows_pad)-strided counter matrix -> flat streamed-major
+    (bn*n1,) int32 vector with an optional per-streamed-record offset
+    added (stream variant-split).  Native blocked transpose chunked
+    across the pool when available; numpy fallback otherwise."""
+    from distance_tpu._native import get_lib
+
+    lib = get_lib()
+    if (
+        lib is None
+        or mat.dtype != np.int32
+        or mat.strides[1] != 4
+        or mat.strides[0] % 4
+    ):
+        out = np.ascontiguousarray(mat[:n1, :bn].T).reshape(-1)
+        if add is not None:
+            out = out + np.repeat(add, n1)
+        return out
+    import ctypes
+
+    from distance_tpu.ops.diffup import _get_pool, _row_chunks
+
+    add_c = np.ascontiguousarray(
+        add if add is not None else np.zeros(bn, dtype=np.int32),
+        dtype=np.int32,
+    )
+    out = np.empty(bn * n1, dtype=np.int32)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    in_stride = mat.strides[0] // 4
+    pool = _get_pool()
+
+    def run(span):
+        c0, c1 = span
+        lib.dt_transpose_add_i32(
+            mat.ctypes.data_as(p_i32), n1, in_stride, c0, c1,
+            add_c.ctypes.data_as(p_i32), out.ctypes.data_as(p_i32),
+        )
+
+    chunks = _row_chunks(bn, pool._max_workers)
+    if len(chunks) > 1:
+        list(pool.map(run, chunks))
+    else:
+        run(chunks[0])
+    return out
 
 
 def _rel4_finish_native(lib, lanes, rb, cb, cc, exc_idx, exc_val,
