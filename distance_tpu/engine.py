@@ -740,8 +740,9 @@ class _BlockEngine:
     def block(self, m1, m2, i0: int, j0: int, ti: int, tj: int,
               mode: Optional[str] = None, nv=None, diag_off=None):
         """Dispatch one (ti, tj) counter block; returns a lazy handle
-        (a (lanes, cb, rb_cc[, exc_idx, exc_val]) tuple under rel
-        packing).  ``nv`` = (valid rows in m1, valid rows in m2) — the
+        (a raw (lanes, cb, rb_cc[, exc_idx, exc_val]) tuple under rel
+        packing — _dispatch_strip fuses the small arrays into a single
+        sidecar bundle before fetch).  ``nv`` = (valid rows in m1, valid rows in m2) — the
         rel4 pack zeroes padding cells so they cannot flood the
         exception sidecar.  ``diag_off`` (self-sweeps over one source):
         m1's global row offset minus m2's, for masking self-pair cells;
@@ -790,8 +791,9 @@ class _BlockEngine:
         """Fused dispatch of one whole stream group: diff rebuild (when
         the batch is low-diversity) + every loaded strip + packing in a
         single jitted call.  Returns a lazy (P, n1_pad, rows_pad) handle
-        (a ``(lanes, bases[, exceptions])`` tuple for the rel pack
-        modes).  ``nv`` = (valid loaded rows, valid streamed rows)."""
+        (a ``(lanes, sidecar-bundle)`` pair for the rel pack modes —
+        ops/packing.bundle_sidecars fuses the baselines and the rel4
+        exception sidecar into one D2H request).  ``nv`` = (valid loaded rows, valid streamed rows)."""
         if mode is None:
             mode = self.stream_pack_mode
         n1_pad, l_pad = m1.shape
@@ -816,23 +818,34 @@ class _BlockEngine:
             # RETARGET_FAIL_LIMIT consecutive candidates that also fail
             # to compress, stop probing — the stream is just diverse.
             with self._retarget_lock:
-                if self._retarget_fail_streak < RETARGET_FAIL_LIMIT:
-                    from distance_tpu.ops.diffup import (
-                        DiffUploader, sampled_mode_row,
-                    )
+                probe = self._retarget_fail_streak < RETARGET_FAIL_LIMIT
+            if probe:
+                # The probe itself (mode-row scan + a second encode over
+                # a ~250 MB group) runs UNLOCKED: dispatch_stream also
+                # runs on the main thread during saturated-refetch
+                # redispatch, which must not stall behind it.  Only the
+                # streak update and the uploader swap take the lock;
+                # concurrent probes at worst duplicate work.
+                from distance_tpu.ops.diffup import (
+                    DiffUploader, sampled_mode_row,
+                )
 
-                    refp = np.zeros(l_pad, dtype=np.uint8)
-                    refp[:] = sampled_mode_row(padded[: int(nv2)])
-                    refp[self.width:] = 0  # keep pad columns zero
-                    cand = DiffUploader(refp)
-                    enc2 = cand.encode(padded, n_real=int(nv2))
+                refp = np.zeros(l_pad, dtype=np.uint8)
+                refp[:] = sampled_mode_row(padded[: int(nv2)])
+                refp[self.width:] = 0  # keep pad columns zero
+                cand = DiffUploader(refp)
+                enc2 = cand.encode(padded, n_real=int(nv2))
+                if enc2 is not None:
+                    cand.ref_dev()  # upload before publishing
+                with self._retarget_lock:
                     if enc2 is not None:
                         self._retarget_fail_streak = 0
                         self.diff_up = cand  # later groups start here
                         self.rel_ref = cand.ref_dev()
-                        up, enc = cand, enc2
                     else:
                         self._retarget_fail_streak += 1
+                if enc2 is not None:
+                    up, enc = cand, enc2
         if enc is None:
             fn = _jit_stream_fn(
                 self.measure, self.backend, self.ti, rows_pad, n1_pad,
@@ -909,7 +922,7 @@ class _BlockEngine:
     def to_host(self, handle):
         """Synchronously materialize a dispatched block on host (used for
         warm-up; emission paths go through the strip fetch helpers).
-        rel-family handles are (lanes, cb, rb_cc) tuples."""
+        rel-family handles are tuples of device arrays."""
         if isinstance(handle, tuple):
             return tuple(np.asarray(h) for h in handle)
         return np.asarray(handle)
@@ -1425,15 +1438,13 @@ def _fetch_strip(
         parts = tuple(
             a if isinstance(a, np.ndarray) else np.asarray(a) for a in arr
         )
-        if len(parts) == 2:
-            from distance_tpu.ops.packing import unbundle_sidecars
-
-            cb_, rb_cc_, ei, ev = unbundle_sidecars(parts[1])
-            parts = (parts[0], cb_, rb_cc_) + (
-                (ei, ev) if ei is not None else ()
-            )
         vr = parts[0].shape[1] if valid_rows is None else valid_rows
-        vc = parts[1].shape[1] if valid_cols is None else valid_cols
+        if valid_cols is None:
+            # rel call sites always pass explicit crop bounds; the
+            # bundled 2-tuple cannot derive a column default locally
+            assert len(parts) > 2, "rel fetch requires valid_cols"
+            valid_cols = parts[1].shape[1]
+        vc = valid_cols
         counters, was4 = _unpack_rel_parts(eng, parts, vr, vc)
         (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:
@@ -2074,8 +2085,8 @@ def _run_stream(setup: Setup) -> None:
 
 
 def _start_stream_fetch(out):
-    """Eagerly start D2H for a stream-dispatch result (rel mode returns
-    a (lanes, cb, rb_cc) triple; everything else a single array)."""
+    """Eagerly start D2H for a stream-dispatch result (rel modes return
+    a (lanes, sidecar-bundle) pair; everything else a single array)."""
     if isinstance(out, tuple):
         return tuple(_AsyncFetch(h, axis=1) for h in out)
     return _AsyncFetch(out, axis=1)

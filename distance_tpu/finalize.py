@@ -9,6 +9,7 @@ Both are bit-for-bit identical to the Rust binary's arithmetic.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -71,15 +72,25 @@ def finalize_block(
 # k80, tn93) are otherwise a serial ~10 M pairs/s ceiling per core.
 _PAR_CHUNK = 1 << 20
 _pool = None
+_pool_lock = threading.Lock()
 
 
 def _get_pool():
+    """The process-wide pool for GIL-released native passes (finalize
+    chunks, diff encode, rel4 finish, transpose gather).  Lock-guarded:
+    first use races between the dispatcher and main threads."""
     global _pool
-    if _pool is None:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
+    if _pool is not None:
+        return _pool
+    with _pool_lock:
+        if _pool is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
 
-        _pool = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
+            _pool = ThreadPoolExecutor(
+                min(8, os.cpu_count() or 1),
+                thread_name_prefix="nativepass",
+            )
     return _pool
 
 

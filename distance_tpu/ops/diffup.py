@@ -30,20 +30,14 @@ from typing import Optional
 
 import numpy as np
 
-# Shared pool for the GIL-released native compare/extract passes: the
-# encode runs on the engine's dispatcher thread, so parallelizing its
-# two memory passes directly shortens the stream critical path.
-_pool: Optional[ThreadPoolExecutor] = None
-
-
+# The GIL-released native compare/extract passes run on the shared
+# process-wide pool (distance_tpu.finalize): the encode runs on the
+# engine's dispatcher thread, so parallelizing its two memory passes
+# directly shortens the stream critical path.
 def _get_pool() -> ThreadPoolExecutor:
-    global _pool
-    if _pool is None:
-        _pool = ThreadPoolExecutor(
-            max_workers=min(8, os.cpu_count() or 1),
-            thread_name_prefix="diffenc",
-        )
-    return _pool
+    from distance_tpu.finalize import _get_pool as shared
+
+    return shared()
 
 
 def _row_chunks(n_rows: int, workers: int):
