@@ -162,8 +162,24 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj, max_block):
         _tri_indices,
     )
 
-    # warm up / compile
-    eng.to_host(eng.block(dev, dev, 0, 0, ti, tj))  # compile + D2H warmup
+    # Warm up / compile: one full strip dispatch+fetch per DISTINCT
+    # strip shape (the per-strip block count varies over the triangle,
+    # and each count is its own concat/bundle executable).  Measured
+    # ~2.5 s of one-time per-shape compile otherwise lands inside the
+    # timed loop — a constant the real CLI pays once per run and
+    # amortizes over billions of pairs.
+    if backend == "numpy":  # no executables to warm; one block suffices
+        eng.to_host(eng.block(dev, dev, 0, 0, ti, tj))
+    else:
+        seen = set()
+        for i0 in range(0, n - 1, ti):
+            col_starts = list(range(i0, n, tj))
+            if len(col_starts) in seen:
+                continue
+            seen.add(len(col_starts))
+            eng.to_host(
+                _dispatch_strip(eng, dev, dev, i0, col_starts, ti, tj)
+            )
 
     total_pairs = 0
 
