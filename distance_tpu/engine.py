@@ -672,7 +672,7 @@ class _BlockEngine:
         ``row_tile``, rows are padded to a multiple of it instead (used
         by the out-of-core sweep for super-row staging).  ``diff_ref``
         (a width-length code row) enables diff-encoded uploads against
-        that reference for this matrix and later ``upload_rows`` calls.
+        that reference for this matrix and later stream dispatches.
         """
         n, width = matrix.shape
         if self.backend == "numpy":
@@ -778,13 +778,6 @@ class _BlockEngine:
         from distance_tpu.ops.diffup import sampled_mode_row
 
         return sampled_mode_row(source)
-
-    def upload_rows(self, padded: np.ndarray):
-        """Upload one padded row batch (stream-mode m2), diff-encoded
-        against the reference row when prepare(diff_ref=) configured it."""
-        if self.diff_up is not None:
-            return self.diff_up.upload(padded)
-        return _chunked_h2d(padded)
 
     def dispatch_stream(self, m1, padded: np.ndarray, rows_pad: int,
                         mode: Optional[str] = None, nv=None):
@@ -1204,24 +1197,37 @@ def _choose_tiles(
     n1: int, n2: int, setup: Setup, backend: str = "numpy"
 ) -> Tuple[int, int]:
     ti = min(setup.tile_i, _pow2_at_least(n1))
+    # _tri_indices builds int32 position arithmetic over one strip's
+    # pairs; cap ti so ti * n2 stays below 2^31 (a wrap would corrupt
+    # emission indices silently).  Power-of-two steps keep the tile
+    # grid aligned.
+    while ti > 8 and ti * max(n2, 1) >= (1 << 31):
+        ti //= 2
     tj = min(setup.tile_j, _pow2_at_least(n2))
     if backend == "xla":
         import jax
+        import math
 
         ndev = jax.device_count()
         # Multi-chip pair-DP shards each block's column axis across the
         # mesh; a non-divisible tile would silently fall back to one
         # device, so round the tile up instead (padding keeps slices in
         # bounds; output bytes are tile-size independent).  The multiple
-        # is 2*ndev, not ndev: rel4 nibble lanes halve the column axis,
-        # and the halved axis must still divide the mesh or the cheapest
-        # packing rung would be lost under GSPMD.
-        mult = 2 * ndev
+        # is lcm(2*ndev, ti):
+        #   * 2*ndev, not ndev, because rel4 nibble lanes halve the
+        #     column axis and the halved axis must still divide the
+        #     mesh or the cheapest packing rung is lost under GSPMD;
+        #   * ti, because every block column start i0 + k*tj must land
+        #     on the ti grid — prepare()'s row-padding bound assumes
+        #     it, and a misaligned start would let dynamic_slice CLAMP
+        #     and silently shift the block's columns (wrong output on
+        #     e.g. 6-device topologies).
+        mult = math.lcm(2 * ndev, ti)
         if ndev > 1 and tj % mult:
             adj = -(-tj // mult) * mult
             print(
                 f"[distance-tpu] note: tile_j {tj} -> {adj}"
-                f" (multiple of 2 x {ndev} devices)",
+                f" (multiple of lcm(2 x {ndev} devices, tile_i {ti}))",
                 file=sys.stderr,
             )
             tj = adj
@@ -1267,9 +1273,12 @@ def _get_fetch_pool(n_threads: Optional[int] = None):
 
 
 def configure_fetch_pool(n_threads: int) -> None:
-    """Set the transfer pool size before first use (idempotent after)."""
+    """Set the transfer pool size before first use (idempotent after).
+    An explicit ``-t`` is an exact override (bounded only by a 128
+    backstop against absurd values — transfer threads are cheap but
+    not free)."""
     if n_threads and n_threads > 0:
-        _get_fetch_pool(min(n_threads, 32))
+        _get_fetch_pool(min(n_threads, 128))
 
 
 def _chunk_slices(handle, axis: int):
@@ -1435,26 +1444,38 @@ def _fetch_strip(
     if isinstance(arr, tuple):
         # rel pack (lanes, bundle) or (lanes, cb, rb_cc[, exceptions]);
         # maybe device arrays
-        parts = tuple(
+        arr = tuple(
             a if isinstance(a, np.ndarray) else np.asarray(a) for a in arr
         )
-        vr = parts[0].shape[1] if valid_rows is None else valid_rows
         if valid_cols is None:
             # rel call sites always pass explicit crop bounds; the
             # bundled 2-tuple cannot derive a column default locally
-            assert len(parts) > 2, "rel fetch requires valid_cols"
-            valid_cols = parts[1].shape[1]
+            assert len(arr) > 2, "rel fetch requires valid_cols"
+            valid_cols = arr[1].shape[1]
+        vr = arr[0].shape[1] if valid_rows is None else valid_rows
         vc = valid_cols
-        counters, was4 = _unpack_rel_parts(eng, parts, vr, vc)
+    else:
+        vr = arr.shape[1] if valid_rows is None else valid_rows
+        vc = arr.shape[2] if valid_cols is None else valid_cols
+    return _finish_fetched(eng, arr, vr, vc, redispatch, axis=-1)
+
+
+def _finish_fetched(eng: _BlockEngine, arr, vr: int, vc: int, redispatch,
+                    axis: int) -> np.ndarray:
+    """Shared unpack + saturation-refetch ladder for a fetched strip
+    (axis=-1) or stream batch (axis=1): rel-family tuples reconstruct
+    via _unpack_rel_parts with the rel->wide escalation; packed arrays
+    crop then unpack (the handle's dtype identifies how it was packed
+    at dispatch time — int8 = narrow — since the engine's current mode
+    may have moved on), with a wide refetch on 8-bit saturation."""
+    if isinstance(arr, tuple):
+        counters, was4 = _unpack_rel_parts(eng, arr, vr, vc)
         (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
         if counters is not None:
             return counters
-        return _rel_wide_refetch(eng, redispatch, vr, vc, -1, try_rel=was4)
-    vr = arr.shape[1] if valid_rows is None else valid_rows
-    vc = arr.shape[2] if valid_cols is None else valid_cols
+        return _rel_wide_refetch(eng, redispatch, vr, vc, axis,
+                                 try_rel=was4)
     arr = arr[:, :vr, :vc]
-    # The handle's dtype identifies how it was packed at dispatch time
-    # (int8 = narrow) — the engine's current mode may have moved on.
     if eng.packed and arr.dtype == np.int8:
         from distance_tpu.ops.packing import unpack_host_narrow
 
@@ -1462,9 +1483,9 @@ def _fetch_strip(
         eng.note_narrow(counters is None)
         if counters is not None:
             return counters
-        # A counter saturated 8 bits — refetch this strip wide.
+        # A counter saturated 8 bits — refetch wide.
         wide = redispatch("wide")
-        arr = _chunked_d2h(wide, axis=-1)[:, :vr, :vc]
+        arr = _chunked_d2h(wide, axis=axis)[:, :vr, :vc]
         from distance_tpu.ops.packing import unpack_host
 
         return unpack_host(eng.measure, arr)
@@ -2292,35 +2313,15 @@ def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
     """Chunked fetch of a streamed batch's (P, n1_pad, batch) counters."""
     if isinstance(handle, tuple):
         parts = tuple(h.result() for h in handle)
-        counters, was4 = _unpack_rel_parts(
-            eng, parts, valid_rows, valid_cols
+        return _finish_fetched(
+            eng, parts, valid_rows, valid_cols, redispatch, axis=1
         )
-        (eng.note_rel4 if was4 else eng.note_rel)(counters is None)
-        if counters is not None:
-            return counters
-        return _rel_wide_refetch(eng, redispatch, valid_rows, valid_cols, 1,
-                                 try_rel=was4)
     arr = handle.result() if isinstance(handle, _AsyncFetch) else handle
     if eng.backend == "numpy":
         return arr
-    arr = arr[:, :valid_rows, :valid_cols]
-    if eng.packed and arr.dtype == np.int8:
-        from distance_tpu.ops.packing import unpack_host_narrow
-
-        counters = unpack_host_narrow(eng.measure, arr, eng.width)
-        eng.note_narrow(counters is None)
-        if counters is not None:
-            return counters
-        wide = redispatch("wide")
-        arr = _chunked_d2h(wide, axis=1)[:, :valid_rows, :valid_cols]
-        from distance_tpu.ops.packing import unpack_host
-
-        return unpack_host(eng.measure, arr)
-    if eng.packed:
-        from distance_tpu.ops.packing import unpack_host
-
-        return unpack_host(eng.measure, arr)
-    return arr
+    return _finish_fetched(
+        eng, arr, valid_rows, valid_cols, redispatch, axis=1
+    )
 
 
 def _threaded_iter(it, maxsize: int = 64):
@@ -2355,12 +2356,3 @@ def _threaded_iter(it, maxsize: int = 64):
             raise item
         yield item
 
-
-def _ceil(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _pad_to(matrix: np.ndarray, rows: int, width: int) -> np.ndarray:
-    out = np.zeros((rows, width), dtype=np.uint8)
-    out[: matrix.shape[0], : matrix.shape[1]] = matrix
-    return out

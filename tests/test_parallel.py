@@ -138,3 +138,40 @@ def test_tile_rounding_keeps_rel4_shardable(monkeypatch):
     fasta = make_fasta(recs)
     got, _ = run_engine("raw", fasta, backend="xla", tile_i=8, tile_j=40)
     assert got == expected_square("raw", fasta)
+
+
+def test_tile_rounding_stays_on_ti_grid_nonpow2_devices(monkeypatch):
+    """On a non-power-of-two device count, rounding tile_j to the mesh
+    alone would take it off the tile_i grid; block column starts would
+    then exceed prepare()'s row padding and dynamic_slice would CLAMP —
+    silently shifting the block's columns.  tile_j must round to a
+    multiple of lcm(2*ndev, tile_i)."""
+    import jax
+
+    import distance_tpu.engine as engine
+
+    monkeypatch.setattr(jax, "device_count", lambda: 6)
+    setup = engine.Setup.__new__(engine.Setup)
+    setup.tile_i, setup.tile_j = 1024, 4096
+    ti, tj = engine._choose_tiles(10_000, 10_000, setup, backend="xla")
+    assert tj % ti == 0 and (tj // 2) % 6 == 0, (ti, tj)
+    # the padding invariant the fix restores: every block column start
+    # (a multiple of ti) plus tj fits in prepare()'s padded rows
+    n = 10_000
+    n_strips = -(-n // ti)
+    n_pad = (n_strips - 1) * ti + max(tj, ti)
+    worst_start = ((n - 1) // ti) * ti
+    assert worst_start + tj <= n_pad
+
+
+def test_tile_i_capped_against_int32_pair_positions():
+    """_tri_indices builds int32 position arithmetic over one strip's
+    pairs; _choose_tiles must shrink tile_i so ti * n stays below 2^31
+    (a wrap would silently corrupt emission indices)."""
+    import distance_tpu.engine as engine
+
+    setup = engine.Setup.__new__(engine.Setup)
+    setup.tile_i, setup.tile_j = 1024, 4096
+    ti, _ = engine._choose_tiles(3_000_000, 3_000_000, setup,
+                                 backend="numpy")
+    assert ti * 3_000_000 < (1 << 31) and ti >= 8, ti
