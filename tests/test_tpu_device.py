@@ -64,3 +64,49 @@ def test_engine_device_backend_matches_numpy(tmp_path):
     fasta = make_fasta(random_seqs(rng, 40, 200, amb_frac=0.25))
     got, _ = run_engine("tn93", fasta, backend="xla", tile_i=8, tile_j=16)
     assert got == expected_square("tn93", fasta)
+
+
+@pytest.mark.parametrize("measure", ["jc69", "tn93"])
+def test_cli_production_defaults_match_numpy(tmp_path, measure):
+    """Full product path on the real device at DEFAULT tile/pack
+    settings: `python -m distance_tpu.cli` subprocess (device backend)
+    byte-compared against the numpy-backend CLI on a bench-shaped
+    low-diversity alignment (shared ancestor + point mutations + N/gap
+    sprinkle), exercising the rel-pack ladder and the ordered writer
+    end to end — the codified version of the round-2 on-chip smoke
+    (400x29904 k80/tn93 byte-identical)."""
+    import subprocess
+    import sys
+
+    from distance_tpu.encoding import A, C, G, T, N, GAP
+
+    rng = np.random.default_rng(11)
+    n, width = 256, 4096
+    bases = np.array([A, C, G, T], dtype=np.uint8)
+    mat = np.tile(rng.choice(bases, size=width), (n, 1))
+    rows = np.repeat(np.arange(n), 20)
+    mat[rows, rng.integers(0, width, size=n * 20)] = rng.choice(
+        bases, size=n * 20
+    )
+    amb = rng.integers(0, n * width, size=n * width // 200)
+    mat.reshape(-1)[amb] = np.where(
+        rng.random(amb.size) < 0.8, N, GAP
+    ).astype(np.uint8)
+    inv = {A: "A", G: "G", C: "C", T: "T", N: "N", GAP: "-"}
+    fp = tmp_path / "aln.fasta"
+    with open(fp, "w") as f:
+        for i, row in enumerate(mat):
+            f.write(f">s{i}\n" + "".join(inv[b] for b in row) + "\n")
+
+    def run_cli(backend, out):
+        subprocess.run(
+            [sys.executable, "-m", "distance_tpu.cli", str(fp),
+             "-m", measure, "--backend", backend, "-o", str(out)],
+            check=True, timeout=1200,
+        )
+
+    dev_out = tmp_path / "dev.tsv"
+    np_out = tmp_path / "np.tsv"
+    run_cli("xla", dev_out)
+    run_cli("numpy", np_out)
+    assert dev_out.read_bytes() == np_out.read_bytes()
