@@ -221,11 +221,14 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj, max_block):
     return total_pairs / dt, dt, total_pairs, eng, dev
 
 
-def device_only_pairs_per_s(dev, shape, measure, backend, ti, tj):
+def device_only_pairs_per_s(dev, shape, measure, backend, ti, tj, eng=None):
     """Counter-sweep rate with results reduced on device (one scalar
     fetch at the end).  Measures chip throughput without the host link —
     the relevant number for hardware where PCIe is not a bottleneck.
-    ``dev`` is the already-uploaded (padded) matrix."""
+    ``dev`` is the already-uploaded (padded) matrix; when ``eng`` holds a
+    g-side feature cache for it (the production path — engine.py
+    _jit_block_fn_feat), blocks contract cached features, exactly as the
+    real sweep dispatches them."""
     import jax
     import jax.numpy as jnp
 
@@ -234,10 +237,41 @@ def device_only_pairs_per_s(dev, shape, measure, backend, ti, tj):
     from distance_tpu.ops.features import get_plan
 
     plan = get_plan(measure)
+    gyf = eng.gfeat_of(dev) if eng is not None else None
     if backend == "pallas":
         from distance_tpu.ops.pairwise_pallas import counters_pallas as kern
+        gyf = None
     else:
         from distance_tpu.ops.pairwise_xla import counters_xla as kern
+
+    if gyf is not None:
+        from distance_tpu.ops.pairwise_xla import contract_features
+
+        r = plan.total_channels
+
+        @jax.jit
+        def block_sum(fx, gyf, j0, acc):
+            gy = jax.lax.dynamic_slice(
+                gyf, (0, j0, 0), (r, tj, gyf.shape[2])
+            )
+            c = contract_features(fx, gy, plan)
+            return acc + jnp.sum(c, dtype=jnp.int32)
+
+        acc = jnp.zeros((), jnp.int32)
+        fx0 = eng.fx_strip(dev, 0, ti)
+        acc = block_sum(fx0, gyf, 0, acc)
+        np.asarray(acc)  # compile + warm
+
+        t0 = time.perf_counter()
+        total_pairs = 0
+        for i0 in range(0, n - 1, ti):
+            fx = eng.fx_strip(dev, i0, ti)
+            for j0 in range(i0, n, tj):
+                acc = block_sum(fx, gyf, j0, acc)
+                total_pairs += ti * min(tj, max(0, n - j0))
+        np.asarray(acc)  # force completion (single tiny transfer)
+        dt = time.perf_counter() - t0
+        return total_pairs / dt, dt
 
     @jax.jit
     def block_sum(m, i0, j0, acc):
@@ -279,8 +313,15 @@ def main():
     enable_jit_cache()
     on_tpu = jax.default_backend() != "cpu"
     backend = os.environ.get("BENCH_BACKEND", "xla")
-    ti = int(os.environ.get("BENCH_TILE_I", "1024" if on_tpu else "256"))
-    tj = int(os.environ.get("BENCH_TILE_J", "4096" if on_tpu else "512"))
+    from distance_tpu.engine import _auto_tile
+
+    auto = _auto_tile(n, backend if backend != "numpy" else "xla")
+    ti = int(os.environ.get("BENCH_TILE_I", "0")) or (
+        auto if on_tpu else 256
+    )
+    tj = int(os.environ.get("BENCH_TILE_J", "0")) or (
+        auto if on_tpu else 512
+    )
     if not on_tpu:
         # CPU fallback: keep the run to seconds, not hours
         n = min(n, int(os.environ.get("BENCH_N", "512")))
@@ -327,7 +368,7 @@ def main():
             (wire_mb / link["warm_d2h_mb_s"]) / dt, 3
         )
     dev_pairs_per_s, dev_dt = device_only_pairs_per_s(
-        dev, mat.shape, measure, backend, dev_tile, dev_tile
+        dev, mat.shape, measure, backend, dev_tile, dev_tile, eng=eng
     )
 
     result = {
