@@ -157,9 +157,8 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj, max_block):
         _AsyncFetch,
         _dispatch_strip,
         _fetch_strip,
-        _gather_strip_triangle,
+        _gather_emit,
         _pipeline_strips,
-        _tri_indices,
     )
 
     # Warm up / compile: one full strip dispatch+fetch per DISTINCT
@@ -200,20 +199,21 @@ def device_sweep_pairs_per_s(mat, measure, backend, ti, tj, max_block):
                 eng, dev, dev, i0, col_starts, ti, tj, mode
             ),
         )
-        local_rows, col_idx = _tri_indices(si, i0, n)
-        gathered = _gather_strip_triangle(strip, si, i0, n, i0)
+        gathered = _gather_emit(strip, si, i0, n, i0)
+        if gathered is None:
+            return
+        rows_c, pair_i, col_idx = gathered
         counters = {
-            name: gathered[k] for k, name in enumerate(plan.counters)
+            name: rows_c[k] for k, name in enumerate(plan.counters)
         }
         if base_counts is not None:
             finalize_block(
                 measure, counters,
-                (base_counts, local_rows + np.int32(i0),
-                 base_counts, col_idx),
+                (base_counts, pair_i, base_counts, col_idx),
             )
         else:
             finalize_block(measure, counters)
-        total_pairs += local_rows.shape[0]
+        total_pairs += pair_i.shape[0]
 
     t0 = time.perf_counter()
     _pipeline_strips(strips(), emit)

@@ -112,9 +112,20 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p_u8, i64, i64, i64, p_u8,          # data, len, width, max_recs, enc
         p_u8, ctypes.c_char_p, i64, p_i64,  # matrix, ids, ids_cap, id_offs
         ctypes.c_char_p, i64, p_i64,        # descs, descs_cap, desc_offs
-        p_i64, p_i64, p_i64,                # n_out, err_a, err_b
+        p_i64, p_i64, p_i64, p_i64,         # n_out, err_a, err_b, tallies
     ]
     lib.dt_parse_fasta_fill.restype = ctypes.c_int
+    lib.dt_gather_strip_tri.argtypes = [
+        p_i32, i64, i64, i64, i64, i64, i64, p_i64, i64, i64, i64,
+        p_i32, p_i32, p_i32,
+    ]
+    lib.dt_gather_strip_tri.restype = None
+    lib.dt_keys_lin3.argtypes = [
+        p_i32, p_i32, p_i32, i64, i64, i64, i64, i64, p_i32,
+    ]
+    lib.dt_keys_lin3.restype = None
+    lib.dt_minmax_i32.argtypes = [p_i32, i64, i64, p_i32, p_i32]
+    lib.dt_minmax_i32.restype = None
     return lib
 
 

@@ -310,13 +310,18 @@ int64_t dt_format_rows_pre(const char *ids1, const int64_t *off1,
  * 2 ragged (err_a = record idx, err_b = seen width); 3 junk before first
  * '>'; 4 capacity overflow (caller sized blobs wrong); 5 too many
  * records.  Partial fills are valid up to the failing record.
+ *
+ * `tallies` (optional, caller-zeroed (max_records x 4) int64): per
+ * record counts of RAW bytes 'A','T','G','C' — upper-case only, the
+ * reference's streamed tn93 quirk (its streamed encoder tallies chars,
+ * not codes, /root/reference/src/fastaio.rs:124-142).  NULL skips.
  */
 int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
                         int64_t max_records, const uint8_t *enc_table,
                         uint8_t *matrix, char *ids, int64_t ids_cap,
                         int64_t *id_offs, char *descs, int64_t descs_cap,
                         int64_t *desc_offs, int64_t *n_out, int64_t *err_a,
-                        int64_t *err_b) {
+                        int64_t *err_b, int64_t *tallies) {
     int64_t i = 0;
     int64_t rec = -1;     /* current record index */
     int64_t col = 0;      /* sites filled in current record */
@@ -382,6 +387,7 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
                 return 3;
             }
             uint8_t *row = matrix + rec * width;
+            int64_t *tly = tallies ? tallies + rec * 4 : NULL;
             for (int64_t p = start; p < end; p++) {
                 uint8_t code = enc_table[data[p]];
                 if (code == 0) {
@@ -389,6 +395,13 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
                     *err_a = rec;
                     *err_b = data[p];
                     return 1;
+                }
+                if (tly) {
+                    uint8_t ch = data[p];
+                    if (ch == 'A') tly[0]++;
+                    else if (ch == 'T') tly[1]++;
+                    else if (ch == 'G') tly[2]++;
+                    else if (ch == 'C') tly[3]++;
                 }
                 if (col >= width) {
                     /* longer than expected: keep counting so the ragged
@@ -562,4 +575,77 @@ int64_t dt_format_rows_i64(const char *ids1, const int64_t *off1,
         out[w++] = '\n';
     }
     return w;
+}
+
+/* Fused strip-triangle gather + emission-index build for one row range.
+ *
+ * A square-mode strip holds counters for rows i0..i0+si-1 over a column
+ * window starting at absolute column col0; row li's emitted region is
+ * absolute columns i0+li+1 .. n-1, which is CONTIGUOUS in the strip.
+ * This writes, for local rows [r0, r1):
+ *   outc[g*total + starts[li] ..] = strip[g*gstride + li*cols + lo ..]
+ * (gstride = elements between counter planes — strips may be axis-1
+ * views of a larger buffer, e.g. the out-of-core group buffer.)
+ *   pair_i[starts[li] ..]  = i0 + li
+ *   col_idx[starts[li] ..] = col0 + lo, col0 + lo + 1, ...
+ * starts[] is the exclusive prefix sum of region lengths (starts[si] ==
+ * total).  Disjoint row ranges write disjoint output spans, so the
+ * caller parallelizes by chunking rows across threads (GIL released).
+ * Replaces the numpy repeat/arange index build + per-row slice
+ * concatenation — one pass, no temporaries. */
+void dt_gather_strip_tri(const int32_t *strip, int64_t G, int64_t gstride,
+                         int64_t cols, int64_t hi, int64_t i0, int64_t col0,
+                         const int64_t *starts, int64_t total,
+                         int64_t r0, int64_t r1, int32_t *outc,
+                         int32_t *pair_i, int32_t *col_idx) {
+    for (int64_t li = r0; li < r1; li++) {
+        int64_t lo = i0 + li + 1 - col0;
+        if (lo < 0) lo = 0;
+        if (lo > hi) lo = hi;
+        int64_t len = hi - lo;
+        if (len <= 0) continue;
+        int64_t dst = starts[li];
+        for (int64_t g = 0; g < G; g++)
+            memcpy(outc + g * total + dst,
+                   strip + g * gstride + li * cols + lo,
+                   (size_t)len * sizeof(int32_t));
+        int32_t pi = (int32_t)(i0 + li);
+        int32_t c0 = (int32_t)(col0 + lo);
+        for (int64_t k = 0; k < len; k++) {
+            pair_i[dst + k] = pi;
+            col_idx[dst + k] = c0 + (int32_t)k;
+        }
+    }
+}
+
+/* Fused linear key build: out[i] = ca*a[i] + cb*b[i] (+ cc*c[i]) + c0,
+ * computed in int64, stored int32 (callers guarantee the result fits —
+ * it is a memo key < 2^26).  Every keyed measure's memo key is linear
+ * in its counters given the constant width W:
+ *   raw/jc69: key = d*nm + (W - d - same)      (nm = nonsame_max+1)
+ *   k80:      key = (nonl*tm + ts)*vm + tv, nonl = W - same - ts - tv
+ * One parallel pass replaces ~6 numpy temporary passes.  c may be NULL. */
+void dt_keys_lin3(const int32_t *a, const int32_t *b, const int32_t *c,
+                  int64_t n, int64_t ca, int64_t cb, int64_t cc, int64_t c0,
+                  int32_t *out) {
+    if (c) {
+        for (int64_t i = 0; i < n; i++)
+            out[i] = (int32_t)(ca * a[i] + cb * b[i] + cc * c[i] + c0);
+    } else {
+        for (int64_t i = 0; i < n; i++)
+            out[i] = (int32_t)(ca * a[i] + cb * b[i] + c0);
+    }
+}
+
+/* Parallel-friendly min/max of an int32 array (range [r0, r1)). */
+void dt_minmax_i32(const int32_t *a, int64_t r0, int64_t r1,
+                   int32_t *mn, int32_t *mx) {
+    int32_t lo = a[r0], hi = a[r0];
+    for (int64_t i = r0 + 1; i < r1; i++) {
+        int32_t v = a[i];
+        if (v < lo) lo = v;
+        if (v > hi) hi = v;
+    }
+    *mn = lo;
+    *mx = hi;
 }

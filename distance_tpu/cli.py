@@ -263,11 +263,26 @@ def main(argv=None) -> int:
         print(LICENCES)
         return 0
     if args.input is not None and len(args.input) > 2:
-        print(
-            'Error: Message("-i/--input takes at most two files")',
-            file=sys.stderr,
-        )
-        return 1
+        # clap semantics (num_args(0..=2), /root/reference/src/lib.rs:85-98):
+        # -i consumes at most two values; further values fall through to
+        # the positional slots, so three-plus files trip the positional/
+        # flag conflict (lib.rs:182-184) rather than a custom message.
+        # Values beyond the two positional slots are a clap usage error
+        # (exit 2).
+        extras, args.input = args.input[2:], args.input[:2]
+        for v in extras:
+            if args.input_pos_1 is None:
+                args.input_pos_1 = v
+            elif args.input_pos_2 is None:
+                args.input_pos_2 = v
+            else:
+                print(
+                    f"error: unexpected argument '{v}' found\n\n"
+                    f"Usage: {USAGE}\n"
+                    "For more information, try '--help'.",
+                    file=sys.stderr,
+                )
+                return 2
 
     from distance_tpu.engine import run, set_up
 

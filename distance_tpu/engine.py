@@ -1094,6 +1094,8 @@ def _emit_pairs(
     same_offset: int = 0,
     emitter=None,
     after=None,
+    pool: Optional[_ScratchPool] = None,
+    lease: Optional[List[np.ndarray]] = None,
 ) -> None:
     """Finalize + write one flat batch of pairs (already in order).
 
@@ -1113,9 +1115,35 @@ def _emit_pairs(
     bc = None
     if setup.measure == "tn93":
         bc = (aln1.base_counts, pair_i, aln2.base_counts, pair_j)
-    with phase_timer("finalize"):
-        values = finalize_block(setup.measure, counters, bc)
-    keys, keyspace = _value_keys(setup.measure, counters, aln1.width)
+    with phase_timer("keys"):
+        keys, keyspace = _value_keys(setup.measure, counters, aln1.width,
+                                     pool, lease)
+    if keys is not None:
+        # Memoized tail: the writer ranks the keys and calls back with
+        # one representative row per DISTINCT key — finalize runs over
+        # thousands of rows instead of millions (the f64 logs and the
+        # per-pair value array both vanish from the hot path).  Equal
+        # keys imply equal counters imply bit-identical values, so any
+        # representative is exact.
+        measure = setup.measure
+
+        def values(first_rows: Optional[np.ndarray]) -> np.ndarray:
+            if first_rows is None:
+                with phase_timer("finalize"):
+                    return finalize_block(measure, counters, bc)
+            sub = {k: v[first_rows] for k, v in counters.items()}
+            with phase_timer("finalize"):
+                return finalize_block(measure, sub, None)
+    else:
+        out = None
+        if (
+            pool is not None and lease is not None
+            and setup.measure not in ("n", "n_high")
+        ):
+            n_rows = next(iter(counters.values())).shape[0]
+            out = pool.take(n_rows, np.float64, lease)
+        with phase_timer("finalize"):
+            values = finalize_block(setup.measure, counters, bc, out=out)
 
     def tail() -> None:
         with phase_timer("write"):
@@ -1124,6 +1152,8 @@ def _emit_pairs(
             )
         if after is not None:
             after()
+        if pool is not None and lease:
+            pool.give_all(lease)
 
     if emitter is None:
         tail()
@@ -1131,43 +1161,146 @@ def _emit_pairs(
         emitter.submit(tail)
 
 
-def _value_keys(measure: str, counters: Dict[str, np.ndarray], width: int):
-    """Per-pair integer keys that determine the finalized value, when the
-    counters are small enough to pack (the common low-diversity regime).
+# Upper bound on the memo keyspace: the writer's rank table is one int32
+# per key (dt_key_rank), so 2^26 caps it at 256 MB — far above any
+# realistic tight packing (see _value_keys), present only as a backstop
+# against adversarial counter spreads.
+_KEYSPACE_CAP = 1 << 26
+
+
+def _lin3_native(lib, out, a, b, c, ca, cb, cc, c0):
+    """Parallel out = ca*a + cb*b (+ cc*c) + c0 over int32 arrays."""
+    import ctypes
+
+    from distance_tpu.finalize import _get_pool
+
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    n = out.shape[0]
+    step = max(1 << 21, -(-n // 8))
+
+    def run(lo):
+        hi = min(lo + step, n)
+        lib.dt_keys_lin3(
+            a[lo:hi].ctypes.data_as(p32), b[lo:hi].ctypes.data_as(p32),
+            c[lo:hi].ctypes.data_as(p32) if c is not None else None,
+            hi - lo, ca, cb, cc, c0, out[lo:hi].ctypes.data_as(p32),
+        )
+
+    futs = [_get_pool().submit(run, lo) for lo in range(0, n, step)]
+    for f in futs:
+        f.result()
+
+
+def _minmax_native(lib, a):
+    import ctypes
+
+    mn = ctypes.c_int32()
+    mx = ctypes.c_int32()
+    lib.dt_minmax_i32(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), 0, a.shape[0],
+        ctypes.byref(mn), ctypes.byref(mx),
+    )
+    return mn.value, mx.value
+
+
+def _value_keys(measure: str, counters: Dict[str, np.ndarray], width: int,
+                pool: Optional[_ScratchPool] = None, lease=None):
+    """Per-pair integer keys that determine the finalized value.
 
     A pair's distance is a pure function of its counters (plus the
     constant alignment width); packing them into a small key lets the
-    writer format each distinct value once (sort-free memoization).
-    tn93 is excluded — its value also depends on the pair's base tallies.
+    writer finalize + format each DISTINCT value once (sort-free
+    memoization).  Packing is tight — mixed-radix over the counters'
+    actual maxima — because realistic ambiguity loads (~150 N/gap sites
+    per record -> pair nonsame ~300) overflow any fixed 8-bit field; the
+    round-2 static packing silently disabled the memo for raw/jc69/k80
+    on exactly the data it was built for.  tn93 is excluded — its value
+    also depends on the pair's base tallies.
+
+    Every keyed measure's key is LINEAR in its counters given width, so
+    the native path builds keys in one fused parallel pass
+    (dt_keys_lin3) instead of a chain of numpy temporaries (~2.5 s ->
+    ~0.3 s per 74 M-pair strip measured on the 4-core bench host).
     """
+    from distance_tpu._native import get_lib
+
+    lib = get_lib()
+
+    def scratch(n):
+        if pool is not None and lease is not None:
+            return pool.take(n, np.int32, lease)
+        return np.empty(n, dtype=np.int32)
+
     if measure in ("n", "n_high"):
         d = counters["diff"]
-        if d.size and int(d.max(initial=0)) < (1 << 16):
-            return d.astype(np.int32), 1 << 16
-        return None, 0
+        if not d.size:
+            return None, 0
+        dm = int(d.max(initial=0))
+        if dm >= _KEYSPACE_CAP:
+            return None, 0
+        return np.asarray(d, dtype=np.int32), dm + 1
+    native = (
+        lib is not None
+        and all(
+            v.dtype == np.int32 and v.flags.c_contiguous
+            for v in counters.values()
+        )
+    )
     if measure in ("raw", "jc69"):
-        d = counters["diff"]
-        nonsame = width - (counters["same"] + d)
-        if (
-            d.size
-            and int(d.max(initial=0)) < 256
-            and 0 <= int(nonsame.min(initial=0))
-            and int(nonsame.max(initial=0)) < 256
-        ):
-            return (d << 8) | nonsame, 1 << 16
-        return None, 0
+        d, same = counters["diff"], counters["same"]
+        if not d.size:
+            return None, 0
+        if native:
+            nsum = scratch(d.shape[0])
+            _lin3_native(lib, nsum, d, same, None, 1, 1, 0, 0)
+            s_mn, s_mx = _minmax_native(lib, nsum)
+            _, d_mx = _minmax_native(lib, d)
+            if s_mx > width:  # negative nonsame somewhere
+                return None, 0
+            nm = width - s_mn + 1
+            if (d_mx + 1) * nm > _KEYSPACE_CAP:
+                return None, 0
+            keys = nsum  # reuse the buffer: keys = nm*d - nsum + width
+            _lin3_native(lib, keys, d, nsum, None, nm, -1, 0, width)
+            return keys, (d_mx + 1) * nm
+        nonsame = width - (same + d)
+        if int(nonsame.min(initial=0)) < 0:
+            return None, 0
+        dm = int(d.max(initial=0)) + 1
+        nm = int(nonsame.max(initial=0)) + 1
+        if dm * nm > _KEYSPACE_CAP:
+            return None, 0
+        return (d * np.int32(nm) + nonsame).astype(np.int32), dm * nm
     if measure == "k80":
-        ts, tv = counters["ts"], counters["tv"]
-        nonl = width - (counters["same"] + ts + tv)
-        if (
-            ts.size
-            and int(ts.max(initial=0)) < 256
-            and int(tv.max(initial=0)) < 256
-            and 0 <= int(nonl.min(initial=0))
-            and int(nonl.max(initial=0)) < 256
-        ):
-            return (nonl << 16) | (ts << 8) | tv, 1 << 24
-        return None, 0
+        same, ts, tv = counters["same"], counters["ts"], counters["tv"]
+        if not ts.size:
+            return None, 0
+        if native:
+            nsum = scratch(ts.shape[0])
+            _lin3_native(lib, nsum, same, ts, tv, 1, 1, 1, 0)
+            s_mn, s_mx = _minmax_native(lib, nsum)
+            _, t_mx = _minmax_native(lib, ts)
+            _, v_mx = _minmax_native(lib, tv)
+            if s_mx > width:
+                return None, 0
+            tm, vm, lm = t_mx + 1, v_mx + 1, width - s_mn + 1
+            if tm * vm * lm > _KEYSPACE_CAP:
+                return None, 0
+            # key = (W - nsum)*tm*vm + ts*vm + tv
+            keys = nsum
+            _lin3_native(lib, keys, ts, tv, nsum, vm, 1, -tm * vm,
+                         width * tm * vm)
+            return keys, tm * vm * lm
+        nonl = width - (same + ts + tv)
+        if int(nonl.min(initial=0)) < 0:
+            return None, 0
+        tm = int(ts.max(initial=0)) + 1
+        vm = int(tv.max(initial=0)) + 1
+        lm = int(nonl.max(initial=0)) + 1
+        if tm * vm * lm > _KEYSPACE_CAP:
+            return None, 0
+        keys = (nonl * np.int32(tm) + ts) * np.int32(vm) + tv
+        return keys.astype(np.int32), tm * vm * lm
     return None, 0
 
 
@@ -1191,6 +1324,128 @@ def _tri_indices(si: int, i0: int, n: int):
         (starts - first_col).astype(np.int32), counts
     )
     return local_rows, col_idx
+
+
+class _ScratchPool:
+    """Recycled large scratch arrays for the emission tail.
+
+    Strips allocate multi-GB gather/key/index buffers; on VM hosts with
+    lazy guest-memory faulting (measured here: first-touch 1.8 GB/s vs
+    5.9 GB/s warm, with DAMON reclaim re-chilling freed pages) fresh
+    allocations per strip dominate the tail.  The pool hands back the
+    previous strip's buffers instead — square-mode strips shrink
+    monotonically, so the first strip's buffers fit all later ones.
+    take() is called on the producing thread, give() by the emitter
+    thread after the rows are written.
+    """
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._free: Dict[str, List[np.ndarray]] = {}
+
+    def take(self, n: int, dtype, lease: List[np.ndarray]) -> np.ndarray:
+        """A 1-D array of ``n`` elements; its backing root is appended to
+        ``lease`` for give_all() once the consumer is done with it."""
+        key = np.dtype(dtype).str
+        root = None
+        with self._lock:
+            lst = self._free.get(key)
+            if lst:
+                for k, arr in enumerate(lst):
+                    if arr.shape[0] >= n:
+                        root = lst.pop(k)
+                        break
+        if root is None:
+            root = np.empty(n, dtype=dtype)
+        lease.append(root)
+        return root[:n]
+
+    def give_all(self, lease: List[np.ndarray]) -> None:
+        with self._lock:
+            for root in lease:
+                self._free.setdefault(root.dtype.str, []).append(root)
+        lease.clear()
+
+
+def _gather_emit(strip: np.ndarray, si: int, i0: int, n: int, col0: int,
+                 pool: Optional[_ScratchPool] = None, lease=None):
+    """Fused gather + emission-index build for one square-mode strip.
+
+    Returns (counter_rows, pair_i, col_idx) — counter_rows[g] is the
+    g-th counter gathered over the emitted (i < j) region in canonical
+    row-major order, pair_i/col_idx the absolute emission indices — or
+    None when the strip emits nothing.  One parallel native pass
+    (dt_gather_strip_tri, rows chunked over the shared pool) replaces
+    the numpy repeat/arange index build plus per-row slice concatenation
+    that was the measured main-thread bottleneck of the emission tail;
+    falls back to exactly those numpy helpers without the native lib.
+    """
+    from distance_tpu._native import get_lib
+
+    lib = get_lib()
+    G = strip.shape[0]
+    hi = n - col0
+    cols = strip.shape[2]
+    # rows and columns must be laid out plainly; the counter-plane axis
+    # may be strided (axis-1 views of the out-of-core group buffer)
+    plain = strip.size and (
+        strip.strides[2] == 4 and strip.strides[1] == 4 * cols
+    )
+    if lib is None or not plain:
+        local_rows, col_idx = _tri_indices(si, i0, n)
+        if col_idx.size == 0:
+            return None
+        gathered = _gather_strip_triangle(strip, si, i0, n, col0)
+        return [gathered[g] for g in range(G)], (
+            local_rows + np.int32(i0)
+        ), col_idx
+    import ctypes
+
+    rows = np.arange(si, dtype=np.int64)
+    lens = np.maximum(hi - np.maximum(i0 + rows + 1 - col0, 0), 0)
+    starts = np.zeros(si + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    total = int(starts[-1])
+    if total == 0:
+        return None
+    if pool is not None and lease is not None:
+        outc = pool.take(G * total, np.int32, lease).reshape(G, total)
+        pair_i = pool.take(total, np.int32, lease)
+        col_idx = pool.take(total, np.int32, lease)
+    else:
+        outc = np.empty((G, total), dtype=np.int32)
+        pair_i = np.empty(total, dtype=np.int32)
+        col_idx = np.empty(total, dtype=np.int32)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    args = (
+        strip.ctypes.data_as(p_i32), G, strip.strides[0] // 4, cols, hi,
+        i0, col0, starts.ctypes.data_as(p_i64), total,
+    )
+    outs = (
+        outc.ctypes.data_as(p_i32), pair_i.ctypes.data_as(p_i32),
+        col_idx.ctypes.data_as(p_i32),
+    )
+    from distance_tpu.finalize import _get_pool
+
+    pool = _get_pool()
+    n_chunks = min(8, max(1, total // (1 << 21)))
+    # balanced row ranges: boundaries where the pair prefix crosses k/n
+    bounds = np.searchsorted(
+        starts, np.linspace(0, total, n_chunks + 1)
+    ).astype(np.int64)
+    bounds[0], bounds[-1] = 0, si
+    futs = [
+        pool.submit(lib.dt_gather_strip_tri, *args,
+                    int(bounds[k]), int(bounds[k + 1]), *outs)
+        for k in range(n_chunks)
+        if bounds[k] < bounds[k + 1]
+    ]
+    for f in futs:
+        f.result()
+    return [outc[g] for g in range(G)], pair_i, col_idx
 
 
 def _gather_strip_triangle(strip: np.ndarray, si: int, i0: int, n: int,
@@ -1749,9 +2004,12 @@ class _AsyncEmitter:
                     self._err = e
 
     def submit(self, fn) -> None:
+        # A failed tail poisons the emitter permanently: every later
+        # submit and finish() re-raise, and the worker runs nothing
+        # more — work submitted after the first raise must not silently
+        # execute (round-2 review finding).
         if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+            raise self._err
         self._q.put(fn)
 
     def finish(self) -> None:
@@ -1759,8 +2017,7 @@ class _AsyncEmitter:
         self._done.wait()
         self._thread.join()
         if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+            raise self._err
 
 
 # Device-memory budget for resident sequence data; beyond it the blocked
@@ -1837,6 +2094,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
 
     meter = ProgressMeter("sweep", weights[a + done : b])
     emitter = _AsyncEmitter()
+    pool = _ScratchPool()
 
     def strips():
         for ordinal, i0 in enumerate(strip_starts[a:b]):
@@ -1858,20 +2116,22 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
             ),
         )
         # Rows i0..i0+si-1 in order: (i, j) for j in i+1..n.
-        local_rows, col_idx = _tri_indices(si, i0, n)
-        if col_idx.size == 0:
+        lease: List[np.ndarray] = []
+        with phase_timer("gather"):
+            gathered = _gather_emit(strip, si, i0, n, i0, pool, lease)
+        if gathered is None:
             return
-        gathered = _gather_strip_triangle(strip, si, i0, n, i0)
+        rows_c, pair_i, col_idx = gathered
         counters = {
-            name: gathered[k] for k, name in enumerate(plan.counters)
+            name: rows_c[k] for k, name in enumerate(plan.counters)
         }
-        pair_i = local_rows + np.int32(i0)
         _emit_pairs(
             setup, aln, aln, pair_i, col_idx, counters, same_offset,
             emitter=emitter,
             after=lambda ordinal=ordinal: (
                 _progress_mark(setup, ordinal + 1), meter.tick()
             ),
+            pool=pool, lease=lease,
         )
 
     _pipeline_strips(strips(), emit)
@@ -1931,6 +2191,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
 
     meter = ProgressMeter("sweep (out-of-core)", weights[a + done : b])
     emitter = _AsyncEmitter()
+    pool = _ScratchPool()
     dref = eng.diff_ref_for(source)
 
     for g0 in range(row_lo, row_hi, group_rows):
@@ -2001,22 +2262,24 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             if ordinal < done:
                 continue
             si = min(ti, g1 - g0 - i0_loc)
-            local_rows, col_idx = _tri_indices(si, abs_i0, n)
-            if col_idx.size == 0:
-                continue
-            gathered = _gather_strip_triangle(
-                bufs[:, i0_loc : i0_loc + si], si, abs_i0, n, g0
+            lease: List[np.ndarray] = []
+            gathered = _gather_emit(
+                bufs[:, i0_loc : i0_loc + si], si, abs_i0, n, g0,
+                pool, lease,
             )
+            if gathered is None:
+                continue
+            rows_c, pair_i, col_idx = gathered
             counters = {
-                name: gathered[k] for k, name in enumerate(plan.counters)
+                name: rows_c[k] for k, name in enumerate(plan.counters)
             }
-            pair_i = local_rows + np.int32(i0_loc + g0)
             _emit_pairs(
                 setup, aln, aln, pair_i, col_idx, counters, same_offset,
                 emitter=emitter,
                 after=lambda ordinal=ordinal: (
                     _progress_mark(setup, ordinal + 1), meter.tick()
                 ),
+                pool=pool, lease=lease,
             )
         eng.release(dev_x)
         dev_x = None

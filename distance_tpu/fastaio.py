@@ -246,6 +246,7 @@ def _load_fasta_native(data: bytes) -> Optional[Alignment]:
         descs_buf, ids_cap, desc_offs.ctypes.data_as(p_i64),
         n_out.ctypes.data_as(p_i64),
         err_a.ctypes.data_as(p_i64), err_b.ctypes.data_as(p_i64),
+        None,
     )
 
     def rec_id(k: int) -> str:
@@ -341,14 +342,18 @@ def stream_fasta(
             " measure is n"
         )
 
-    if measure != "tn93" and not _os.environ.get("DISTANCE_TPU_NO_NATIVE"):
-        # GIL-releasing chunked C parse+encode (the tn93 path needs the
-        # raw bytes for its upper-case-only tally, so it stays Python)
+    if not _os.environ.get("DISTANCE_TPU_NO_NATIVE"):
+        # GIL-releasing chunked C parse+encode; for tn93 the parser also
+        # tallies raw 'A','T','G','C' bytes per record (upper-case only —
+        # the reference's streamed-path quirk, fastaio.rs:124-142)
         from distance_tpu._native import get_lib
 
         if get_lib() is not None:
             yield from _stream_fasta_batches(
-                _stream_records_native(handle, width), width, batchsize
+                _stream_records_native(
+                    handle, width, want_tallies=(measure == "tn93")
+                ),
+                width, batchsize,
             )
             return
 
@@ -405,39 +410,47 @@ STREAM_READ_BYTES = int(
 
 
 def _stream_fasta_batches(
-    records: Iterator[Tuple[str, np.ndarray]], width: int, batchsize: int
+    records: Iterator[tuple], width: int, batchsize: int
 ) -> Iterator[StreamBatch]:
-    """Group a (id, encoded-row) iterator into StreamBatch messages at
-    the user's ``-b`` granularity (no tn93 tallies on this path)."""
+    """Group an (id, encoded-row[, tally]) iterator into StreamBatch
+    messages at the user's ``-b`` granularity."""
     ids: List[str] = []
     rows: List[np.ndarray] = []
+    counts: List[np.ndarray] = []
     idx_counter = 0
     record_counter = 0
-    for rid, codes in records:
+
+    def flush(i: int) -> StreamBatch:
+        return StreamBatch(
+            ids=list(ids),
+            matrix=np.vstack(rows) if rows
+            else np.zeros((0, width), np.uint8),
+            base_counts=(
+                np.vstack(counts).astype(np.int32) if counts else None
+            ),
+            idx=i,
+        )
+
+    for rec in records:
+        rid, codes = rec[0], rec[1]
         record_counter += 1
         ids.append(rid)
         rows.append(codes)
+        if len(rec) > 2 and rec[2] is not None:
+            counts.append(rec[2])
         if len(ids) == batchsize:
-            yield StreamBatch(
-                ids=ids, matrix=np.vstack(rows), base_counts=None,
-                idx=idx_counter,
-            )
+            yield flush(idx_counter)
             idx_counter += 1
-            ids, rows = [], []
+            ids, rows, counts = [], [], []
     if ids:
-        yield StreamBatch(
-            ids=ids,
-            matrix=np.vstack(rows) if rows
-            else np.zeros((0, width), np.uint8),
-            base_counts=None, idx=idx_counter,
-        )
+        yield flush(idx_counter)
     if record_counter == 0:
         raise DistanceError(_err_empty_fasta())
 
 
 def _stream_records_native(
-    handle: BinaryIO, width: int
-) -> Iterator[Tuple[str, np.ndarray]]:
+    handle: BinaryIO, width: int, want_tallies: bool = False
+) -> Iterator[tuple]:
     """Chunked C parse+encode of a streamed FASTA.
 
     Reads ~STREAM_READ_BYTES at a time, cuts at the last record
@@ -445,7 +458,10 @@ def _stream_records_native(
     released).  Any parse error re-runs the failing piece through the
     Python per-record path so error ORDER matches the reference exactly
     (streamed records check width before encoding, fastaio.rs:246-254 —
-    the C parser detects invalid bytes first)."""
+    the C parser detects invalid bytes first).  With ``want_tallies``
+    each yielded tuple carries the record's raw upper-case-only
+    (A, T, G, C) byte counts (the streamed tn93 precompute,
+    fastaio.rs:124-142) tallied inside the same C pass."""
     import ctypes
 
     from distance_tpu._native import get_lib
@@ -475,7 +491,9 @@ def _stream_records_native(
         max_records = data.count(b">")
         if max_records == 0:
             # junk/whitespace only: exact semantics from the Python path
-            yield from _stream_records_python_piece(data, width)
+            yield from _stream_records_python_piece(
+                data, width, want_tallies
+            )
             continue
         arr = np.frombuffer(data, dtype=np.uint8)
         matrix = np.zeros((max_records, width), dtype=np.uint8)
@@ -487,6 +505,10 @@ def _stream_records_native(
         n_out = np.zeros(1, dtype=np.int64)
         err_a = np.zeros(1, dtype=np.int64)
         err_b = np.zeros(1, dtype=np.int64)
+        tallies = (
+            np.zeros((max_records, 4), dtype=np.int64)
+            if want_tallies else None
+        )
         rc = lib.dt_parse_fasta_fill(
             arr.ctypes.data_as(p_u8), len(data), width, max_records,
             ENCODING.ctypes.data_as(p_u8),
@@ -495,11 +517,14 @@ def _stream_records_native(
             descs_buf, ids_cap, desc_offs.ctypes.data_as(p_i64),
             n_out.ctypes.data_as(p_i64),
             err_a.ctypes.data_as(p_i64), err_b.ctypes.data_as(p_i64),
+            tallies.ctypes.data_as(p_i64) if tallies is not None else None,
         )
         if rc != 0:
             # rare/terminal: replay this piece in Python for exact
             # error text and ordering (it re-raises in every rc!=0 case)
-            yield from _stream_records_python_piece(data, width)
+            yield from _stream_records_python_piece(
+                data, width, want_tallies
+            )
             continue
         n = int(n_out[0])
         id_blob = ctypes.string_at(ids_buf, int(id_offs[n]))
@@ -507,19 +532,28 @@ def _stream_records_native(
             rid = id_blob[id_offs[k]:id_offs[k + 1]].decode(
                 "utf-8", errors="replace"
             )
-            yield rid, matrix[k]
+            yield rid, matrix[k], (
+                tallies[k] if tallies is not None else None
+            )
 
 
 def _stream_records_python_piece(
-    data: bytes, width: int
-) -> Iterator[Tuple[str, np.ndarray]]:
+    data: bytes, width: int, want_tallies: bool = False
+) -> Iterator[tuple]:
     import io as _io
 
     for rid, _desc, seq in parse_fasta(_io.BytesIO(data)):
         # streamed records check width BEFORE encoding (fastaio.rs:246-254)
         if len(seq) != width:
             raise DistanceError(_err_different_lengths(len(seq), width))
-        yield rid, encode_seq(rid, seq)
+        tally = None
+        if want_tallies:
+            raw = np.frombuffer(seq, dtype=np.uint8)
+            tally = np.array(
+                [int((raw == ord(c)).sum()) for c in "ATGC"],
+                dtype=np.int64,
+            )
+        yield rid, encode_seq(rid, seq), tally
 
 
 # ---------------------------------------------------------------------------

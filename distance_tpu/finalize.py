@@ -30,6 +30,7 @@ def finalize_block(
     measure: str,
     counters: Dict[str, np.ndarray],
     bc: Optional[BasePairRef] = None,
+    out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Finalize a flat block of pairs.
 
@@ -47,7 +48,8 @@ def finalize_block(
         return counters["diff"].astype(np.int64)
 
     n = next(iter(counters.values())).shape[0]
-    out = np.empty(n, dtype=np.float64)
+    if out is None or out.shape[0] != n or out.dtype != np.float64:
+        out = np.empty(n, dtype=np.float64)
     if bc is not None:
         bcq, iq, bct, it = bc
         bc = (

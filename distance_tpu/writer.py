@@ -15,6 +15,7 @@ Reproduces the reference writer (/root/reference/src/lib.rs:598-644):
 from __future__ import annotations
 
 import ctypes
+import io
 import math
 import sys
 from typing import BinaryIO, Dict, List, Optional, Sequence
@@ -44,6 +45,17 @@ class TsvWriter:
         # Invoked before the silent exit-0 on a broken pipe — used by the
         # engine to drop a now-inconsistent resume sidecar.
         self._on_broken_pipe = on_broken_pipe
+        # Recycled large scratch arrays (vidx, row bounds, rank table):
+        # rows() runs serially per writer, and fresh multi-GB allocations
+        # per block are expensive on lazily-faulted VM memory.
+        self._scratch: Dict[str, np.ndarray] = {}
+
+    def _scr(self, name: str, n: int, dtype) -> np.ndarray:
+        arr = self._scratch.get(name)
+        if arr is None or arr.shape[0] < n or arr.dtype != np.dtype(dtype):
+            arr = np.empty(n, dtype=dtype)
+            self._scratch[name] = arr
+        return arr[:n]
 
     def _broken_pipe_exit(self) -> None:
         # /root/reference/src/lib.rs:598-608
@@ -61,8 +73,11 @@ class TsvWriter:
         os._exit(0)
 
     def _write(self, data: bytes) -> None:
+        from distance_tpu.utils.timing import phase_timer
+
         try:
-            self._out.write(data)
+            with phase_timer("write:io"):
+                self._out.write(data)
         except BrokenPipeError:
             self._broken_pipe_exit()
 
@@ -82,7 +97,7 @@ class TsvWriter:
         ids2: Sequence[str],
         pair_i: np.ndarray,
         pair_j: np.ndarray,
-        values: np.ndarray,
+        values,
         keys: Optional[np.ndarray] = None,
         keyspace: int = 0,
     ) -> None:
@@ -90,12 +105,59 @@ class TsvWriter:
 
         ``keys``/``keyspace``: optional per-row integer keys that
         determine each row's value — enables sort-free memoized
-        formatting (see _value_table)."""
+        formatting (see _value_table).  ``values`` may be a CALLABLE
+        ``values(first_rows)``: with the memo engaged it is called once
+        with the representative row index per distinct key (finalize
+        only those); called with None it must return the full per-row
+        array (memo bypassed).
+
+        Large keyed blocks going to a seekable regular file are
+        formatted straight into an mmap of the file (single copy, chunks
+        fault pages in parallel) — a buffered ``write`` of the assembled
+        gigabyte was the measured tail bottleneck (250-400 MB/s vs
+        >1 GB/s mapped)."""
         self.header()
         data = _format_rows(
-            ids1, ids2, pair_i, pair_j, values, keys, keyspace
+            ids1, ids2, pair_i, pair_j, values, keys, keyspace,
+            sink=self,
         )
-        self._write(data)
+        if data is not None:
+            self._write(data)
+
+    def _mmap_dest(self, total: int):
+        """(buffer_addr, done_fn) window of ``total`` bytes appended to
+        the underlying file, or None when the output is not a seekable
+        regular file (pipes, BytesIO, stdout)."""
+        import mmap as _mmap
+        import os as _os
+
+        out = self._out
+        try:
+            if not out.seekable():
+                return None
+            fd = out.fileno()
+            self.flush()  # buffered bytes must land before the window
+            pos = out.tell()
+            _os.ftruncate(fd, pos + total)
+            gran = _mmap.ALLOCATIONGRANULARITY
+            delta = pos % gran
+            # Outputs open write-only ("wb"); a writable mapping needs a
+            # read-write fd — reopen the same file via /proc/self/fd
+            # (same inode, works for unlinked files too).
+            rw = _os.open(f"/proc/self/fd/{fd}", _os.O_RDWR)
+            try:
+                mm = _mmap.mmap(rw, total + delta, offset=pos - delta)
+            finally:
+                _os.close(rw)
+        except (OSError, ValueError, AttributeError, io.UnsupportedOperation):
+            return None
+        base = ctypes.addressof(ctypes.c_char.from_buffer(mm)) + delta
+
+        def done() -> None:
+            mm.close()
+            out.seek(pos + total)
+
+        return base, done
 
     def flush(self) -> None:
         try:
@@ -133,25 +195,34 @@ def _format_pool():
     return _get_pool()
 
 
-def _value_table(values: np.ndarray, keys: np.ndarray, keyspace: int,
-                 lib=None):
+def _value_table(values, keys: np.ndarray, keyspace: int, lib=None,
+                 sink: Optional["TsvWriter"] = None):
     """(vblob, voffs, vidx) from caller-supplied value keys.
 
     ``keys`` maps each row to an integer < ``keyspace`` that DETERMINES
     its value (the engine derives keys from the small per-pair counters,
     so equal keys imply bit-identical values — so any occurrence may
     represent its key).  Distances on real alignments repeat heavily, so
-    each distinct key's value is formatted once and row emission becomes
-    pure memcpy (dt_format_rows_pre).
+    each distinct key's value is finalized + formatted once and row
+    emission becomes pure memcpy (dt_format_rows_pre).  A callable
+    ``values`` is invoked only with the representative row indices — the
+    per-pair f64 array is never materialized.
     """
     if lib is not None:
         keys = np.ascontiguousarray(keys, dtype=np.int32)
         n = keys.shape[0]
-        rank = np.full(keyspace, -1, dtype=np.int32)
         cap = min(n, keyspace)
-        present = np.empty(cap, dtype=np.int32)
-        first_row = np.empty(cap, dtype=np.int64)
-        vidx = np.empty(n, dtype=np.int32)
+        if sink is not None:
+            rank = sink._scr("rank", keyspace, np.int32)
+            rank.fill(-1)
+            present = sink._scr("present", cap, np.int32)
+            first_row = sink._scr("first_row", cap, np.int64)
+            vidx = sink._scr("vidx", n, np.int32)
+        else:
+            rank = np.full(keyspace, -1, dtype=np.int32)
+            present = np.empty(cap, dtype=np.int32)
+            first_row = np.empty(cap, dtype=np.int64)
+            vidx = np.empty(n, dtype=np.int32)
         p_i32 = ctypes.POINTER(ctypes.c_int32)
         p_i64 = ctypes.POINTER(ctypes.c_int64)
         n_present = lib.dt_key_rank(
@@ -159,9 +230,14 @@ def _value_table(values: np.ndarray, keys: np.ndarray, keyspace: int,
             present.ctypes.data_as(p_i32),
             first_row.ctypes.data_as(p_i64), vidx.ctypes.data_as(p_i32),
         )
-        reps = values[first_row[:n_present]]
+        if callable(values):
+            reps = values(first_row[:n_present])
+        else:
+            reps = values[first_row[:n_present]]
     else:
         # numpy fallback: sort-free bincount + two O(n) gathers
+        if callable(values):
+            values = values(None)
         present = np.flatnonzero(np.bincount(keys, minlength=keyspace))
         table = np.empty(keyspace, dtype=values.dtype)
         table[keys] = values
@@ -169,7 +245,7 @@ def _value_table(values: np.ndarray, keys: np.ndarray, keyspace: int,
         rank = np.zeros(keyspace, dtype=np.int32)
         rank[present] = np.arange(present.size, dtype=np.int32)
         vidx = np.ascontiguousarray(rank[keys])
-    if values.dtype == np.float64:
+    if reps.dtype == np.float64:
         strs = [format_float(v).encode() for v in reps]
     else:
         strs = [b"%d" % v for v in reps]
@@ -183,14 +259,19 @@ def _format_rows(
     ids2: Sequence[str],
     pair_i: np.ndarray,
     pair_j: np.ndarray,
-    values: np.ndarray,
+    values,
     keys: Optional[np.ndarray] = None,
     keyspace: int = 0,
-) -> bytes:
+    sink: Optional["TsvWriter"] = None,
+) -> Optional[bytes]:
     lib = get_lib()
     pair_i = np.ascontiguousarray(pair_i, dtype=np.int32)
     pair_j = np.ascontiguousarray(pair_j, dtype=np.int32)
     n = pair_i.shape[0]
+    if callable(values) and not (
+        lib is not None and keys is not None and n >= _MEMO_MIN_ROWS
+    ):
+        values = values(None)  # memo not engaged: full finalize
     if lib is not None and n:
         blob1, off1 = _id_blob(ids1)
         blob2, off2 = _id_blob(ids2)
@@ -203,15 +284,16 @@ def _format_rows(
             blob1, off1.ctypes.data_as(p_i64),
             blob2, off2.ctypes.data_as(p_i64),
         ]
-        table = (
-            _value_table(values, keys, keyspace, lib)
-            if keys is not None and n >= _MEMO_MIN_ROWS
-            else None
-        )
-        if table is not None:
-            return _assemble_keyed(
-                lib, id_args, off1, off2, pair_i, pair_j, table, n
-            )
+        if keys is not None and n >= _MEMO_MIN_ROWS:
+            from distance_tpu.utils.timing import phase_timer
+
+            with phase_timer("write:value_table"):
+                table = _value_table(values, keys, keyspace, lib, sink)
+            with phase_timer("write:assemble"):
+                return _assemble_keyed(
+                    lib, id_args, off1, off2, pair_i, pair_j, table, n,
+                    sink=sink,
+                )
         if values.dtype == np.float64:
             vals64 = np.ascontiguousarray(values)
         else:
@@ -265,11 +347,18 @@ def _format_rows(
     return "".join(parts).encode()
 
 
-def _assemble_keyed(lib, id_args, off1, off2, pair_i, pair_j, table, n):
+def _assemble_keyed(lib, id_args, off1, off2, pair_i, pair_j, table, n,
+                    sink=None):
     """Zero-copy emission for the keyed path: row lengths are known
     exactly up front (id lengths + value-string lengths), so chunks of
     dt_format_rows_pre write straight into one exact-size buffer in
-    parallel — no zero-fill, no per-chunk copy, no final join."""
+    parallel — no zero-fill, no per-chunk copy, no final join.
+
+    With a ``sink`` whose output is a seekable regular file, the buffer
+    IS an mmap window appended to the file (TsvWriter._mmap_dest):
+    formatting lands directly in the page cache and the separate
+    gigabyte-scale ``write`` copy disappears.  Returns the bytes when no
+    mapped window is available, else None (rows already in the file)."""
     vblob, voffs, vidx = table
     # int32 throughout: int64 fancy-gathers are an order of magnitude
     # slower on common hosts, and every length fits easily
@@ -277,7 +366,11 @@ def _assemble_keyed(lib, id_args, off1, off2, pair_i, pair_j, table, n):
     idl2 = (off2[1:] - off2[:-1]).astype(np.int32)
     vlen = (voffs[1:] - voffs[:-1]).astype(np.int32)
     p_i32 = ctypes.POINTER(ctypes.c_int32)
-    bounds = np.zeros(n + 1, dtype=np.int64)
+    if sink is not None:
+        bounds = sink._scr("bounds", n + 1, np.int64)
+        bounds[0] = 0
+    else:
+        bounds = np.zeros(n + 1, dtype=np.int64)
     lib.dt_row_bounds(
         pair_i.ctypes.data_as(p_i32), pair_j.ctypes.data_as(p_i32),
         vidx.ctypes.data_as(p_i32), idl1.ctypes.data_as(p_i32),
@@ -285,8 +378,14 @@ def _assemble_keyed(lib, id_args, off1, off2, pair_i, pair_j, table, n):
         n, bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     total = int(bounds[-1])
-    out = bytearray(total)
-    base = ctypes.addressof((ctypes.c_char * 1).from_buffer(out))
+    out = None
+    done = None
+    dest = sink._mmap_dest(total) if sink is not None else None
+    if dest is not None:
+        base, done = dest
+    else:
+        out = bytearray(total)
+        base = ctypes.addressof((ctypes.c_char * 1).from_buffer(out))
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     p_i32 = ctypes.POINTER(ctypes.c_int32)
 
@@ -310,6 +409,9 @@ def _assemble_keyed(lib, id_args, off1, off2, pair_i, pair_j, table, n):
     else:
         oks = [chunk(0)]
     assert all(oks), "keyed row assembly size mismatch"
+    if done is not None:
+        done()
+        return None
     return out
 
 

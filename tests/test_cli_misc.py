@@ -67,3 +67,23 @@ def test_default_threads_and_pool_from_cpu_count(tmp_path, monkeypatch):
     # transfer threads are IO-blocked: the default pool oversubscribes
     # the machine's cores; an explicit -t is an exact override
     assert pool._max_workers == min(32, 4 * ncpu)
+
+
+def test_input_flag_three_files_is_positional_conflict(tmp_path):
+    """clap's num_args(0..=2) consumes two values for -i and the third
+    falls to a positional, so the reference emits the flag/positional
+    conflict (/root/reference/src/lib.rs:85-98,182-184)."""
+    f = tmp_path / "a.fasta"
+    f.write_bytes(b">a\nACGT\n>b\nACGA\n")
+    p = str(f)
+    r = run_cli(["-i", p, p, p])
+    assert r.returncode == 1
+    assert (
+        b"For loading input files, don't use both positional arguments"
+        b" and the -i/--input flag" in r.stderr
+    )
+    # five values: two for -i, two positionals, the fifth is a clap
+    # usage error (exit 2)
+    r = run_cli(["-i", p, p, p, p, p])
+    assert r.returncode == 2
+    assert b"unexpected argument" in r.stderr

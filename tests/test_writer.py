@@ -130,16 +130,33 @@ def test_engine_value_keys_determine_values():
     diff = rng.integers(0, 255, 5000).astype(np.int32)
     same = (W - diff - rng.integers(0, 200, 5000)).astype(np.int32)
     keys, ks = _value_keys("jc69", {"diff": diff, "same": same}, W)
-    assert ks == 1 << 16 and keys.min() >= 0 and keys.max() < ks
+    assert keys.min() >= 0 and keys.max() < ks
+    # tight mixed-radix packing: keyspace tracks the actual maxima
+    assert ks == (int(diff.max()) + 1) * (int((W - same - diff).max()) + 1)
     # equal keys -> equal (diff, same)
     order = np.argsort(keys, kind="stable")
     k, d, s = keys[order], diff[order], same[order]
     same_key = k[1:] == k[:-1]
     assert np.all(d[1:][same_key] == d[:-1][same_key])
     assert np.all(s[1:][same_key] == s[:-1][same_key])
-    # too-large counters -> no keys
-    big = diff + 300
-    keys, ks = _value_keys("jc69", {"diff": big, "same": same}, W)
+    # realistic ambiguity loads (nonsame ~300 > the old 8-bit field) must
+    # STILL produce keys — the static packing silently disabled the memo
+    big_amb = (W - diff - rng.integers(250, 400, 5000)).astype(np.int32)
+    keys, ks = _value_keys("jc69", {"diff": diff, "same": big_amb}, W)
+    assert keys is not None and keys.max() < ks
+    # negative nonsame (inconsistent counters) -> no keys
+    keys, ks = _value_keys(
+        "jc69", {"diff": diff, "same": (W - diff + 5)}, W
+    )
+    assert keys is None
+    # keyspace blow-up past the cap -> no keys
+    from distance_tpu.engine import _KEYSPACE_CAP
+
+    huge = rng.integers(0, _KEYSPACE_CAP, 5000).astype(np.int32)
+    keys, ks = _value_keys(
+        "jc69", {"diff": huge, "same": np.zeros(5000, np.int32)},
+        _KEYSPACE_CAP,
+    )
     assert keys is None
 
 
@@ -168,3 +185,92 @@ def test_async_emitter_orders_and_propagates():
     em.submit(lambda: ran.append(1))
     em.finish()
     assert ran == [1]
+
+
+def test_mmap_sink_matches_bytesio(tmp_path):
+    """Keyed blocks to a seekable file go through the mmap window; the
+    file bytes must equal the BytesIO (buffered) path exactly, across
+    multiple blocks, with a correct final tell()."""
+    import io as _io
+
+    from distance_tpu.writer import TsvWriter, _MEMO_MIN_ROWS
+
+    rng = np.random.default_rng(3)
+    n = _MEMO_MIN_ROWS + 1234
+    ids = [f"s{i}" for i in range(300)]
+    pi = rng.integers(0, 300, n).astype(np.int32)
+    pj = rng.integers(0, 300, n).astype(np.int32)
+    keys = rng.integers(0, 37, n).astype(np.int32)
+    table = rng.random(37)
+    vals = table[keys]
+
+    mem = _io.BytesIO()
+    wm = TsvWriter(mem)
+    p = tmp_path / "out.tsv"
+    f = open(p, "wb")
+    wf = TsvWriter(f)
+    for _ in range(2):  # two blocks: append-after-mmap must line up
+        wm.rows(ids, ids, pi, pj, vals, keys, 37)
+        wf.rows(ids, ids, pi, pj, vals, keys, 37)
+    # interleave a small unkeyed block (buffered write after a seek)
+    wm.rows(ids, ids, pi[:10], pj[:10], vals[:10])
+    wf.rows(ids, ids, pi[:10], pj[:10], vals[:10])
+    wf.flush()
+    assert wf.tell() == mem.tell()
+    f.close()
+    assert p.read_bytes() == mem.getvalue()
+
+
+def test_deferred_finalize_called_with_reps_only(tmp_path):
+    """A callable values with the memo engaged receives only the
+    representative rows (finalize-by-key), and the emitted bytes match
+    the eager path."""
+    import io as _io
+
+    from distance_tpu.writer import TsvWriter, _MEMO_MIN_ROWS
+
+    rng = np.random.default_rng(5)
+    n = _MEMO_MIN_ROWS + 7
+    ids = [f"s{i}" for i in range(64)]
+    pi = rng.integers(0, 64, n).astype(np.int32)
+    pj = rng.integers(0, 64, n).astype(np.int32)
+    keys = rng.integers(0, 11, n).astype(np.int32)
+    table = rng.random(11)
+    vals = table[keys]
+    calls = []
+
+    def lazy(first_rows):
+        calls.append(first_rows)
+        if first_rows is None:
+            return vals
+        return vals[first_rows]
+
+    mem1, mem2 = _io.BytesIO(), _io.BytesIO()
+    TsvWriter(mem1).rows(ids, ids, pi, pj, vals, keys, 11)
+    TsvWriter(mem2).rows(ids, ids, pi, pj, lazy, keys, 11)
+    assert mem1.getvalue() == mem2.getvalue()
+    from distance_tpu._native import get_lib
+
+    if get_lib() is not None:
+        assert len(calls) == 1 and calls[0] is not None
+        assert calls[0].shape[0] <= 11
+
+
+def test_async_emitter_poisoned_stays_poisoned():
+    """After a tail raises, every later submit/finish re-raises and the
+    submitted work never runs (no silent post-error execution)."""
+    import time as _t
+
+    from distance_tpu.engine import _AsyncEmitter
+
+    em = _AsyncEmitter()
+    ran = []
+    em.submit(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    _t.sleep(0.05)  # let the worker consume and poison
+    with pytest.raises(RuntimeError, match="boom"):
+        em.submit(lambda: ran.append(1))
+    with pytest.raises(RuntimeError, match="boom"):
+        em.submit(lambda: ran.append(2))
+    with pytest.raises(RuntimeError, match="boom"):
+        em.finish()
+    assert ran == []
