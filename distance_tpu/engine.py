@@ -2455,9 +2455,24 @@ def _run_stream(setup: Setup) -> None:
         if setup.measure == "tn93":
             # loaded side indexed by row_idx, streamed side by local_cols
             bc = (aln.base_counts, row_idx, bcounts, local_cols)
-        with phase_timer("finalize"):
-            values = finalize_block(setup.measure, counters, bc)
+        with phase_timer("keys"):
             keys, keyspace = _value_keys(setup.measure, counters, width)
+        if keys is not None:
+            # deferred finalize-by-representative (see _emit_pairs): the
+            # writer calls back with one row per distinct key, so the
+            # per-pair value array is never materialized
+            measure = setup.measure
+
+            def values(first_rows, counters=counters):
+                if first_rows is None:
+                    with phase_timer("finalize"):
+                        return finalize_block(measure, counters, None)
+                sub = {k: v[first_rows] for k, v in counters.items()}
+                with phase_timer("finalize"):
+                    return finalize_block(measure, sub, None)
+        else:
+            with phase_timer("finalize"):
+                values = finalize_block(setup.measure, counters, bc)
 
         def tail(ids2=ids2, row_idx=row_idx, local_cols=local_cols,
                  values=values, keys=keys, keyspace=keyspace,
