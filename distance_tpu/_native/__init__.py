@@ -117,7 +117,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_parse_fasta_fill.restype = ctypes.c_int
     lib.dt_gather_strip_tri.argtypes = [
         p_i32, i64, i64, i64, i64, i64, i64, p_i64, i64, i64, i64,
-        p_i32, p_i32, p_i32,
+        p_i32, p_i32, p_i32, i64,
     ]
     lib.dt_gather_strip_tri.restype = None
     lib.dt_keys_lin3.argtypes = [

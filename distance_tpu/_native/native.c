@@ -583,9 +583,10 @@ int64_t dt_format_rows_i64(const char *ids1, const int64_t *off1,
  * window starting at absolute column col0; row li's emitted region is
  * absolute columns i0+li+1 .. n-1, which is CONTIGUOUS in the strip.
  * This writes, for local rows [r0, r1):
- *   outc[g*total + starts[li] ..] = strip[g*gstride + li*cols + lo ..]
- * (gstride = elements between counter planes — strips may be axis-1
- * views of a larger buffer, e.g. the out-of-core group buffer.)
+ *   outc[g*total + starts[li] ..] = strip[g*gstride + li*rstride + lo ..]
+ * (gstride/rstride = elements between counter planes / rows — strips
+ * may be cropped views of larger buffers, e.g. fetched padded strips or
+ * the out-of-core group buffer; only the column axis must be unit.)
  *   pair_i[starts[li] ..]  = i0 + li
  *   col_idx[starts[li] ..] = col0 + lo, col0 + lo + 1, ...
  * starts[] is the exclusive prefix sum of region lengths (starts[si] ==
@@ -594,12 +595,14 @@ int64_t dt_format_rows_i64(const char *ids1, const int64_t *off1,
  * Replaces the numpy repeat/arange index build + per-row slice
  * concatenation — one pass, no temporaries. */
 void dt_gather_strip_tri(const int32_t *strip, int64_t G, int64_t gstride,
-                         int64_t cols, int64_t hi, int64_t i0, int64_t col0,
+                         int64_t rstride, int64_t hi, int64_t i0, int64_t col0,
                          const int64_t *starts, int64_t total,
                          int64_t r0, int64_t r1, int32_t *outc,
-                         int32_t *pair_i, int32_t *col_idx) {
+                         int32_t *pair_i, int32_t *col_idx, int64_t tri) {
     for (int64_t li = r0; li < r1; li++) {
-        int64_t lo = i0 + li + 1 - col0;
+        /* tri=1: square-mode upper triangle (row li emits columns >
+         * i0+li); tri=0: full rows (rectangle / two-file mode) */
+        int64_t lo = tri ? i0 + li + 1 - col0 : 0;
         if (lo < 0) lo = 0;
         if (lo > hi) lo = hi;
         int64_t len = hi - lo;
@@ -607,7 +610,7 @@ void dt_gather_strip_tri(const int32_t *strip, int64_t G, int64_t gstride,
         int64_t dst = starts[li];
         for (int64_t g = 0; g < G; g++)
             memcpy(outc + g * total + dst,
-                   strip + g * gstride + li * cols + lo,
+                   strip + g * gstride + li * rstride + lo,
                    (size_t)len * sizeof(int32_t));
         int32_t pi = (int32_t)(i0 + li);
         int32_t c0 = (int32_t)(col0 + lo);

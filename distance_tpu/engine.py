@@ -1370,41 +1370,57 @@ class _ScratchPool:
 
 
 def _gather_emit(strip: np.ndarray, si: int, i0: int, n: int, col0: int,
-                 pool: Optional[_ScratchPool] = None, lease=None):
-    """Fused gather + emission-index build for one square-mode strip.
+                 pool: Optional[_ScratchPool] = None, lease=None,
+                 tri: bool = True):
+    """Fused gather + emission-index build for one strip.
 
-    Returns (counter_rows, pair_i, col_idx) — counter_rows[g] is the
-    g-th counter gathered over the emitted (i < j) region in canonical
-    row-major order, pair_i/col_idx the absolute emission indices — or
-    None when the strip emits nothing.  One parallel native pass
-    (dt_gather_strip_tri, rows chunked over the shared pool) replaces
-    the numpy repeat/arange index build plus per-row slice concatenation
-    that was the measured main-thread bottleneck of the emission tail;
-    falls back to exactly those numpy helpers without the native lib.
+    ``tri``: square-mode upper triangle (row li emits columns > i0+li);
+    False emits full rows (rectangle / two-file mode, hi = n - col0
+    columns each).  Returns (counter_rows, pair_i, col_idx) —
+    counter_rows[g] is the g-th counter gathered over the emitted region
+    in canonical row-major order, pair_i/col_idx the absolute emission
+    indices — or None when the strip emits nothing.  One parallel native
+    pass (dt_gather_strip_tri, rows chunked over the shared pool)
+    replaces the numpy repeat/arange index build plus per-row slice
+    concatenation that was the measured main-thread bottleneck of the
+    emission tail; falls back to exactly those numpy helpers without the
+    native lib.
     """
     from distance_tpu._native import get_lib
 
     lib = get_lib()
     G = strip.shape[0]
     hi = n - col0
-    cols = strip.shape[2]
-    # rows and columns must be laid out plainly; the counter-plane axis
-    # may be strided (axis-1 views of the out-of-core group buffer)
-    plain = strip.size and (
-        strip.strides[2] == 4 and strip.strides[1] == 4 * cols
-    )
+    # only the column axis must be unit-stride; counter-plane and row
+    # axes may be strided (cropped fetch views, out-of-core buffers)
+    plain = strip.size and strip.strides[2] == 4
     if lib is None or not plain:
-        local_rows, col_idx = _tri_indices(si, i0, n)
-        if col_idx.size == 0:
+        if tri:
+            local_rows, col_idx = _tri_indices(si, i0, n)
+            if col_idx.size == 0:
+                return None
+            gathered = _gather_strip_triangle(strip, si, i0, n, col0)
+            return [gathered[g] for g in range(G)], (
+                local_rows + np.int32(i0)
+            ), col_idx
+        if hi <= 0 or si == 0:
             return None
-        gathered = _gather_strip_triangle(strip, si, i0, n, col0)
-        return [gathered[g] for g in range(G)], (
-            local_rows + np.int32(i0)
-        ), col_idx
+        local_rows = np.repeat(np.arange(si, dtype=np.int32), hi)
+        col_idx = np.tile(
+            np.arange(col0, col0 + hi, dtype=np.int32), si
+        )
+        rows_c = [
+            np.ascontiguousarray(strip[g, :si, :hi]).reshape(-1)
+            for g in range(G)
+        ]
+        return rows_c, local_rows + np.int32(i0), col_idx
     import ctypes
 
     rows = np.arange(si, dtype=np.int64)
-    lens = np.maximum(hi - np.maximum(i0 + rows + 1 - col0, 0), 0)
+    if tri:
+        lens = np.maximum(hi - np.maximum(i0 + rows + 1 - col0, 0), 0)
+    else:
+        lens = np.full(si, max(hi, 0), dtype=np.int64)
     starts = np.zeros(si + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     total = int(starts[-1])
@@ -1421,8 +1437,9 @@ def _gather_emit(strip: np.ndarray, si: int, i0: int, n: int, col0: int,
     p_i32 = ctypes.POINTER(ctypes.c_int32)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
     args = (
-        strip.ctypes.data_as(p_i32), G, strip.strides[0] // 4, cols, hi,
-        i0, col0, starts.ctypes.data_as(p_i64), total,
+        strip.ctypes.data_as(p_i32), G, strip.strides[0] // 4,
+        strip.strides[1] // 4, hi, i0, col0,
+        starts.ctypes.data_as(p_i64), total,
     )
     outs = (
         outc.ctypes.data_as(p_i32), pair_i.ctypes.data_as(p_i32),
@@ -1430,7 +1447,7 @@ def _gather_emit(strip: np.ndarray, si: int, i0: int, n: int, col0: int,
     )
     from distance_tpu.finalize import _get_pool
 
-    pool = _get_pool()
+    tpool = _get_pool()
     n_chunks = min(8, max(1, total // (1 << 21)))
     # balanced row ranges: boundaries where the pair prefix crosses k/n
     bounds = np.searchsorted(
@@ -1438,8 +1455,9 @@ def _gather_emit(strip: np.ndarray, si: int, i0: int, n: int, col0: int,
     ).astype(np.int64)
     bounds[0], bounds[-1] = 0, si
     futs = [
-        pool.submit(lib.dt_gather_strip_tri, *args,
-                    int(bounds[k]), int(bounds[k + 1]), *outs)
+        tpool.submit(lib.dt_gather_strip_tri, *args,
+                     int(bounds[k]), int(bounds[k + 1]), *outs,
+                     int(tri))
         for k in range(n_chunks)
         if bounds[k] < bounds[k + 1]
     ]
@@ -1633,11 +1651,34 @@ def _auto_tile(n: int, backend: str) -> int:
     return min(t, cap)
 
 
+def _strip_ram_budget() -> int:
+    """Host-RAM allowance for one strip's emission lease (~3 in flight).
+
+    The gather/key/index buffers for a strip cost ~(G+2) x ti x n
+    int32s; unbounded ti at very large n would lease tens of GB.  Cap at
+    a third of physical RAM (or 48 GB), DISTANCE_TPU_STRIP_RAM overrides.
+    """
+    env = int(_os.environ.get("DISTANCE_TPU_STRIP_RAM", 0))
+    if env:
+        return env
+    try:
+        phys = _os.sysconf("SC_PHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError, AttributeError):
+        phys = 16 << 30
+    return min(48 << 30, phys // 3)
+
+
 def _choose_tiles(
     n1: int, n2: int, setup: Setup, backend: str = "numpy"
 ) -> Tuple[int, int]:
     if setup.tile_i == 0:
-        setup.tile_i = _auto_tile(n1, backend)
+        ti_auto = _auto_tile(n1, backend)
+        # bound the emission lease: ~3 strips of (G+2) int32 buffers
+        g = len(get_plan(setup.measure).counters)
+        budget = _strip_ram_budget()
+        while ti_auto > 1024 and 3 * (g + 2) * ti_auto * n2 * 4 > budget:
+            ti_auto //= 2
+        setup.tile_i = ti_auto
     if setup.tile_j == 0:
         setup.tile_j = _auto_tile(n2, backend)
     ti = min(setup.tile_i, _pow2_at_least(n1))
@@ -2310,6 +2351,7 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     a, b = _split_strips(weights, setup.shard)
     done = _resume_skip(setup)
     emitter = _AsyncEmitter()
+    pool = _ScratchPool()
 
     def strips():
         for ordinal, i0 in enumerate(strip_starts[a:b]):
@@ -2329,20 +2371,23 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
                 eng, m1, m2, i0, col_starts, ti, tj, mode, nv=(n1, n2)
             ),
         )
-        local_rows = np.repeat(np.arange(si, dtype=np.int32), n2)
-        col_idx = np.tile(np.arange(n2, dtype=np.int32), si)
-        # row-major over the full (si, n2) rectangle == a flat view
+        # row-major over the full (si, n2) rectangle
+        lease: List[np.ndarray] = []
+        gathered = _gather_emit(strip, si, i0, n2, 0, pool, lease,
+                                tri=False)
+        if gathered is None:
+            return
+        rows_c, pair_i, col_idx = gathered
         counters = {
-            name: np.ascontiguousarray(strip[k, :si, :n2]).reshape(-1)
-            for k, name in enumerate(plan.counters)
+            name: rows_c[k] for k, name in enumerate(plan.counters)
         }
-        pair_i = local_rows + np.int32(i0)
         _emit_pairs(
             setup, aln1, aln2, pair_i, col_idx, counters, same_offset,
             emitter=emitter,
             after=lambda ordinal=ordinal: _progress_mark(
                 setup, ordinal + 1
             ),
+            pool=pool, lease=lease,
         )
 
     _pipeline_strips(strips(), emit)
