@@ -93,14 +93,18 @@ _EXT_OPTS = [
 ]
 
 
-def format_help() -> str:
+def _usage_rendered() -> str:
     # clap renders the override_usage verbatim: every line after the
     # first is indented 7 spaces (including the blank one) and the
     # string carries a trailing indented newline (lib.rs:72-84)
     ul = USAGE.rstrip("\n").split("\n")
-    usage = "\n".join(
+    return "\n".join(
         [ul[0]] + ["       " + l.strip() for l in ul[1:]]
     ) + "\n       "
+
+
+def format_help() -> str:
+    usage = _usage_rendered()
     col = max(len(l) for l, _ in _REF_OPTS + _EXT_OPTS) + 2
     lines = [ABOUT, "", "Usage: " + usage, "", "Options:"]
     lines += [f"  {l:<{col}}{t}" for l, t in _REF_OPTS]
@@ -278,7 +282,7 @@ def main(argv=None) -> int:
             else:
                 print(
                     f"error: unexpected argument '{v}' found\n\n"
-                    f"Usage: {USAGE}\n"
+                    f"Usage: {_usage_rendered()}\n\n"
                     "For more information, try '--help'.",
                     file=sys.stderr,
                 )

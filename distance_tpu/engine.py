@@ -278,6 +278,7 @@ def run(setup: Setup) -> None:
     """Dispatch to the in-memory or streamed driver (lib.rs:490-498)."""
     if setup.shard is not None and setup.shard[0] != 0:
         setup.writer.suppress_header()
+    _resolve_auto_tiles(setup)
     if setup.progress is not None:
         cfg = {
             "measure": setup.measure,
@@ -523,6 +524,22 @@ def _jit_fx_strip(measure: str, ti: int):
     def f(codes, i0):
         x = jax.lax.dynamic_slice(codes, (i0, 0), (ti, codes.shape[1]))
         return features_device(x, plan, "f", jnp, jnp.int8)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fx_slice(measure: str, ti: int):
+    """(ffull, i0) -> (R, ti, L) slice of a cached f-feature tensor."""
+    import jax
+
+    plan = get_plan(measure)
+    r = plan.total_channels
+
+    def f(ffull, i0):
+        return jax.lax.dynamic_slice(
+            ffull, (0, i0, 0), (r, ti, ffull.shape[2])
+        )
 
     return jax.jit(f)
 
@@ -774,13 +791,14 @@ class _BlockEngine:
             backend == "xla" and not self.sharded and FEATCACHE_BUDGET > 0
         )
         self._gcache: Dict[int, tuple] = {}
+        self._fcache: Dict[int, tuple] = {}
         self.rel_ref_f = None
         self.rel_ref_g = None
 
     def prepare(self, matrix: np.ndarray, max_block: int,
                 row_tile: Optional[int] = None,
                 diff_ref: Optional[np.ndarray] = None,
-                cache_g: bool = True) -> object:
+                cache_g: bool = True, cache_f: bool = False) -> object:
         """Pad and (for device backends) upload a sequence matrix.
 
         ``max_block`` is the largest tile size whose slices must stay in
@@ -858,6 +876,16 @@ class _BlockEngine:
         ):
             gfeat = _jit_feat_builder(self.measure, "g")(dev)
             self._gcache[id(dev)] = (dev, gfeat)
+        if (
+            self.feat_cache_on and cache_f
+            and self.plan.total_channels * n_pad * l_pad
+            <= FEATCACHE_BUDGET // 2
+        ):
+            # f-side cache: the out-of-core sweep re-dispatches the same
+            # X strip against every Y super-row, so per-strip f-feature
+            # builds repeat n/sr_rows times without it
+            ffeat = _jit_feat_builder(self.measure, "f")(dev)
+            self._fcache[id(dev)] = (dev, ffeat)
         if self.feat_cache_on and self.rel_ref is not None:
             ref2 = self.rel_ref[None, :]
             self.rel_ref_f = _jit_feat_builder(self.measure, "f")(ref2)
@@ -874,13 +902,18 @@ class _BlockEngine:
         return entry[1] if entry is not None else None
 
     def release(self, handle) -> None:
-        """Drop a prepared matrix's feature cache (frees its HBM — the
+        """Drop a prepared matrix's feature caches (frees HBM — the
         out-of-core sweep stages matrices through prepare repeatedly)."""
         if handle is not None:
             self._gcache.pop(id(handle), None)
+            self._fcache.pop(id(handle), None)
 
     def fx_strip(self, m1, i0: int, ti: int):
-        """f-side features of one strip, built once per strip."""
+        """f-side features of one strip: a slice of the cached f tensor
+        when present, else built from the codes (once per strip)."""
+        entry = self._fcache.get(id(m1))
+        if entry is not None:
+            return _jit_fx_slice(self.measure, ti)(entry[1], i0)
         return _jit_fx_strip(self.measure, ti)(m1, i0)
 
     def block_feat(self, fx, gyf, i0: int, j0: int, ti: int, tj: int,
@@ -1110,8 +1143,16 @@ def _emit_pairs(
     """
     if same_offset:
         for key in ("same", "kk"):
-            if key in counters:
-                counters[key] = counters[key] + same_offset
+            arr = counters.get(key)
+            if arr is None:
+                continue
+            if arr.flags.writeable:
+                # in place: these are this emission's own gather/lease
+                # buffers, and a fresh multi-GB array per strip is
+                # exactly what the scratch pool exists to avoid
+                np.add(arr, same_offset, out=arr)
+            else:
+                counters[key] = arr + same_offset
     bc = None
     if setup.measure == "tn93":
         bc = (aln1.base_counts, pair_i, aln2.base_counts, pair_j)
@@ -1651,16 +1692,21 @@ def _auto_tile(n: int, backend: str) -> int:
     return min(t, cap)
 
 
-def _strip_ram_budget() -> int:
+def _strip_ram_budget(deterministic: bool = False) -> int:
     """Host-RAM allowance for one strip's emission lease (~3 in flight).
 
     The gather/key/index buffers for a strip cost ~(G+2) x ti x n
     int32s; unbounded ti at very large n would lease tens of GB.  Cap at
     a third of physical RAM (or 48 GB), DISTANCE_TPU_STRIP_RAM overrides.
+    ``deterministic`` (sharded / multi-host runs) ignores local RAM —
+    every shard host must resolve the SAME strip grid or the merged
+    output would interleave wrongly.
     """
     env = int(_os.environ.get("DISTANCE_TPU_STRIP_RAM", 0))
     if env:
         return env
+    if deterministic:
+        return 48 << 30
     try:
         phys = _os.sysconf("SC_PHYS_PAGES") * _os.sysconf("SC_PAGE_SIZE")
     except (ValueError, OSError, AttributeError):
@@ -1668,17 +1714,54 @@ def _strip_ram_budget() -> int:
     return min(48 << 30, phys // 3)
 
 
+def _cap_tile_ram(ti: int, n2: int, measure: str, deterministic: bool) -> int:
+    """Bound the emission lease: ~3 strips of (G+2) int32 buffers."""
+    g = len(get_plan(measure).counters)
+    budget = _strip_ram_budget(deterministic)
+    while ti > 1024 and 3 * (g + 2) * ti * n2 * 4 > budget:
+        ti //= 2
+    return ti
+
+
+def _resolve_auto_tiles(setup: Setup) -> None:
+    """Pin auto (0) tiles to concrete values BEFORE the resume config is
+    recorded: the strip grid defines resume units and multi-host shard
+    boundaries, so the resolved numbers — not the auto marker — must go
+    into the sidecar (a later resolution under different RAM or devices
+    would silently shift the grid and corrupt a resumed or merged
+    output).  Uses the same formulas the sweeps use; the sweeps' own
+    fallback resolution then sees nonzero values and is a no-op.
+    """
+    if not setup.loaded:
+        return
+    n1 = setup.loaded[0].n
+    n2 = setup.loaded[-1].n
+    width = max(setup.loaded[0].width, 1)
+    if setup.streamed is not None:
+        pairsites = float(n1) * _stream_group_rows(n1) * width
+        n2 = n1
+    elif len(setup.loaded) > 1:
+        pairsites = float(n1) * n2 * width
+    else:
+        pairsites = 0.5 * n1 * n1 * width
+    backend = _resolve_backend(setup.backend, pairsites)
+    deterministic = setup.shard is not None
+    if setup.tile_i == 0:
+        setup.tile_i = _cap_tile_ram(
+            _auto_tile(n1, backend), n2, setup.measure, deterministic
+        )
+    if setup.tile_j == 0:
+        setup.tile_j = _auto_tile(n2, backend)
+
+
 def _choose_tiles(
     n1: int, n2: int, setup: Setup, backend: str = "numpy"
 ) -> Tuple[int, int]:
     if setup.tile_i == 0:
-        ti_auto = _auto_tile(n1, backend)
-        # bound the emission lease: ~3 strips of (G+2) int32 buffers
-        g = len(get_plan(setup.measure).counters)
-        budget = _strip_ram_budget()
-        while ti_auto > 1024 and 3 * (g + 2) * ti_auto * n2 * 4 > budget:
-            ti_auto //= 2
-        setup.tile_i = ti_auto
+        setup.tile_i = _cap_tile_ram(
+            _auto_tile(n1, backend), n2, setup.measure,
+            setup.shard is not None,
+        )
     if setup.tile_j == 0:
         setup.tile_j = _auto_tile(n2, backend)
     ti = min(setup.tile_i, _pow2_at_least(n1))
@@ -2242,7 +2325,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
         if last_ordinal < done:
             continue
         dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti, diff_ref=dref,
-                            cache_g=False)
+                            cache_g=False, cache_f=True)
         span = n - g0
         bufs = np.zeros((len(plan.counters), g1 - g0, span), dtype=np.int32)
 

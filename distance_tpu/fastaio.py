@@ -317,6 +317,18 @@ class StreamBatch:
     idx: int
 
 
+def _tally_atgc(seq: bytes) -> np.ndarray:
+    """Raw upper-case-only (A, T, G, C) byte counts — the reference's
+    streamed tn93 precompute quirk (its streamed encoder tallies chars,
+    not codes, /root/reference/src/fastaio.rs:124-142).  The native
+    parser computes the same tally in C (dt_parse_fasta_fill); this is
+    the Python-path twin."""
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    return np.array(
+        [int((raw == ord(c)).sum()) for c in "ATGC"], dtype=np.int64
+    )
+
+
 def stream_fasta(
     handle: BinaryIO,
     width: int,
@@ -379,18 +391,7 @@ def stream_fasta(
         ids.append(rid)
         rows.append(codes)
         if measure == "tn93":
-            raw = np.frombuffer(seq, dtype=np.uint8)
-            counts.append(
-                np.array(
-                    [
-                        int((raw == ord("A")).sum()),
-                        int((raw == ord("T")).sum()),
-                        int((raw == ord("G")).sum()),
-                        int((raw == ord("C")).sum()),
-                    ],
-                    dtype=np.int64,
-                )
-            )
+            counts.append(_tally_atgc(seq))
         if len(ids) == batchsize:
             yield make_batch(idx_counter)
             idx_counter += 1
@@ -546,13 +547,7 @@ def _stream_records_python_piece(
         # streamed records check width BEFORE encoding (fastaio.rs:246-254)
         if len(seq) != width:
             raise DistanceError(_err_different_lengths(len(seq), width))
-        tally = None
-        if want_tallies:
-            raw = np.frombuffer(seq, dtype=np.uint8)
-            tally = np.array(
-                [int((raw == ord(c)).sum()) for c in "ATGC"],
-                dtype=np.int64,
-            )
+        tally = _tally_atgc(seq) if want_tallies else None
         yield rid, encode_seq(rid, seq), tally
 
 

@@ -152,3 +152,18 @@ def test_resume_refuses_swapped_input(tmp_path, fasta, monkeypatch):
     setup2 = engine.set_up(build_parser().parse_args(argv))
     with pytest.raises(DistanceError, match="Cannot resume"):
         run(setup2)
+
+
+def test_auto_tiles_resolved_before_config_recorded(tmp_path, fasta):
+    """Auto (0) tiles must be pinned to concrete values in the resume
+    sidecar: the strip grid defines resume units, so recording the auto
+    marker would let a later run resolve a DIFFERENT grid (other host
+    RAM / device kind) and silently mis-skip strips."""
+    out_path = tmp_path / "o.tsv"
+    setup = make_setup(fasta, out_path, tile=8)
+    setup.tile_i = 0
+    setup.tile_j = 0
+    run(setup)
+    setup.writer.close()
+    cfg = setup.progress.config
+    assert cfg["tile_i"] > 0 and cfg["tile_j"] > 0
