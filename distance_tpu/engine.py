@@ -497,8 +497,12 @@ FEATCACHE_BUDGET = int(
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_feat_builder(measure: str, side: str):
-    """codes (n, L) -> (R, n, L) int8 feature tensor, on device."""
+def _jit_feat_builder(measure: str, side: str, repl: bool = False):
+    """codes (n, L) -> (R, n, L) int8 feature tensor, on device.
+
+    ``repl``: pin the output replicated across the device mesh (used by
+    sharded engines for strip/reference features, which every chip's
+    block contraction consumes whole)."""
     import jax
     import jax.numpy as jnp
 
@@ -507,15 +511,62 @@ def _jit_feat_builder(measure: str, side: str):
     def f(codes):
         return features_device(codes, plan, side, jnp, jnp.int8)
 
+    if repl:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+        return jax.jit(
+            f, out_shardings=NamedSharding(mesh, P(None, None, None))
+        )
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fx_strip(measure: str, ti: int):
+def _jit_feat_builder_blocked(measure: str, tj: int):
+    """codes (n_pad, l_pad) -> (nb, R, tj, l_pad) int8 g-features for
+    sharded (GSPMD) engines, block-partitioned so every tj-aligned block
+    slice is shard-local under the blocks' column ("dp") sharding.
+
+    A flat (R, n_pad, L) cache cannot carry the column partition — a
+    tj-row slice at j0 would cross contiguous row shards — but reshaping
+    rows into (nb, tj) blocks and sharding the tj axis gives each chip
+    exactly its tj/ndev columns of EVERY block, so a block lookup is a
+    local index on the unsharded nb axis.  The block axis is OUTERMOST
+    so an nb-index yields a fully contiguous (R, tj, L) operand — with
+    nb inside R, the slice is strided on R and XLA copies the whole
+    ~R*tj*L block to compact it before the GEMM (measured +33% block
+    time at sweep tiles on the chip).  Rows pad to a multiple of tj
+    with zero feature rows (code 0 evaluates to 0 in every channel —
+    same bytes as padding the codes first)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    plan = get_plan(measure)
+    r = plan.total_channels
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+
+    def f(codes):
+        g = features_device(codes, plan, "g", jnp, jnp.int8)
+        n_pad = codes.shape[0]
+        nbp = -(-n_pad // tj) * tj
+        if nbp != n_pad:
+            g = jnp.pad(g, ((0, 0), (0, nbp - n_pad), (0, 0)))
+        g = g.reshape(r, nbp // tj, tj, codes.shape[1])
+        return jnp.transpose(g, (1, 0, 2, 3))
+
+    return jax.jit(
+        f, out_shardings=NamedSharding(mesh, P(None, None, "dp", None))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fx_strip(measure: str, ti: int, repl: bool = False):
     """(codes, i0) -> (R, ti, L) f-side features of one strip.
 
     Built once per strip and reused by all its column blocks (the old
-    path rebuilt them per block; n/tj times more often)."""
+    path rebuilt them per block; n/tj times more often).  ``repl`` pins
+    the output replicated for sharded engines."""
     import jax
     import jax.numpy as jnp
 
@@ -525,11 +576,18 @@ def _jit_fx_strip(measure: str, ti: int):
         x = jax.lax.dynamic_slice(codes, (i0, 0), (ti, codes.shape[1]))
         return features_device(x, plan, "f", jnp, jnp.int8)
 
+    if repl:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+        return jax.jit(
+            f, out_shardings=NamedSharding(mesh, P(None, None, None))
+        )
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fx_slice(measure: str, ti: int):
+def _jit_fx_slice(measure: str, ti: int, repl: bool = False):
     """(ffull, i0) -> (R, ti, L) slice of a cached f-feature tensor."""
     import jax
 
@@ -541,20 +599,34 @@ def _jit_fx_slice(measure: str, ti: int):
             ffull, (0, i0, 0), (r, ti, ffull.shape[2])
         )
 
+    if repl:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+        return jax.jit(
+            f, out_shardings=NamedSharding(mesh, P(None, None, None))
+        )
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_block_fn_feat(measure: str, ti: int, tj: int,
                        pack_mode: str = "none", width: int = 0,
-                       diag_mask: bool = False):
+                       diag_mask: bool = False, sharded: bool = False):
     """Cached-feature analog of _jit_block_fn: contraction + packing over
     prebuilt feature tensors (f-side per strip via _jit_fx_strip, g-side
     per matrix via _jit_feat_builder), so no features are rebuilt inside
     the block dispatch.  Same outputs, byte-identical counters (integer
-    GEMMs over identical operands).  Single-device only: under GSPMD the
-    g-cache's row axis would need the blocks' column sharding, so sharded
-    meshes keep the recomputing path."""
+    GEMMs over identical operands).
+
+    ``sharded`` (GSPMD): ``gyf`` arrives block-partitioned as
+    (nb, R, tj, l_pad) with the tj axis sharded over the "dp" mesh
+    (_jit_feat_builder_blocked), so the block lookup is a shard-local
+    index on the leading nb axis (a contiguous (R, tj, L) operand) and
+    the contraction inherits the blocks' column sharding — multi-chip
+    sweeps get the same cached-feature win as single-chip ones.
+    Requires tj-aligned column starts (the engine falls back to the
+    recomputing path otherwise)."""
     import jax
     import jax.numpy as jnp
 
@@ -566,10 +638,16 @@ def _jit_block_fn_feat(measure: str, ti: int, tj: int,
     plan = get_plan(measure)
     r = plan.total_channels
 
-    def slice_gy(gyf, j0):
-        return jax.lax.dynamic_slice(
-            gyf, (0, j0, 0), (r, tj, gyf.shape[2])
-        )
+    if sharded:
+        def slice_gy(gyf, j0):
+            return jax.lax.dynamic_index_in_dim(
+                gyf, j0 // tj, axis=0, keepdims=False
+            )
+    else:
+        def slice_gy(gyf, j0):
+            return jax.lax.dynamic_slice(
+                gyf, (0, j0, 0), (r, tj, gyf.shape[2])
+            )
 
     if pack_mode in ("rel", "rel4"):
         def f(fx, gyf, i0, j0, f_ref, g_ref, nv1, nv2, doff):
@@ -604,6 +682,27 @@ def _jit_block_fn_feat(measure: str, ti: int, tj: int,
                 return pack_device(measure, c, jnp)
             return c
 
+    if sharded:
+        mesh = _device_mesh(tj)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if pack_mode in ("rel", "rel4"):
+                shards = [
+                    NamedSharding(mesh, P(None, None, "dp")),
+                    NamedSharding(mesh, P(None, "dp")),
+                    NamedSharding(mesh, P(None, None)),
+                ]
+                if pack_mode == "rel4":  # exception sidecar: replicated
+                    shards += [
+                        NamedSharding(mesh, P(None)),
+                        NamedSharding(mesh, P(None)),
+                    ]
+                return jax.jit(f, out_shardings=tuple(shards))
+            return jax.jit(
+                f,
+                out_shardings=NamedSharding(mesh, P(None, None, "dp")),
+            )
     return jax.jit(f)
 
 
@@ -787,9 +886,10 @@ class _BlockEngine:
         self._retarget_lock = threading.Lock()
         # Persistent g-side feature cache (id(dev) -> (dev, gfeat)) and
         # the rel reference row's feature pair; see _jit_block_fn_feat.
-        self.feat_cache_on = (
-            backend == "xla" and not self.sharded and FEATCACHE_BUDGET > 0
-        )
+        # Sharded engines cache too — the g tensor is built
+        # block-partitioned (R, nb, tj, l_pad) so block slices stay
+        # shard-local under the "dp" column partition.
+        self.feat_cache_on = backend == "xla" and FEATCACHE_BUDGET > 0
         self._gcache: Dict[int, tuple] = {}
         self._fcache: Dict[int, tuple] = {}
         self.rel_ref_f = None
@@ -874,7 +974,10 @@ class _BlockEngine:
             self.feat_cache_on and cache_g
             and self.plan.total_channels * n_pad * l_pad <= FEATCACHE_BUDGET
         ):
-            gfeat = _jit_feat_builder(self.measure, "g")(dev)
+            if self.sharded:
+                gfeat = _jit_feat_builder_blocked(self.measure, self.tj)(dev)
+            else:
+                gfeat = _jit_feat_builder(self.measure, "g")(dev)
             self._gcache[id(dev)] = (dev, gfeat)
         if (
             self.feat_cache_on and cache_f
@@ -884,12 +987,18 @@ class _BlockEngine:
             # f-side cache: the out-of-core sweep re-dispatches the same
             # X strip against every Y super-row, so per-strip f-feature
             # builds repeat n/sr_rows times without it
-            ffeat = _jit_feat_builder(self.measure, "f")(dev)
+            ffeat = _jit_feat_builder(
+                self.measure, "f", repl=self.sharded
+            )(dev)
             self._fcache[id(dev)] = (dev, ffeat)
         if self.feat_cache_on and self.rel_ref is not None:
             ref2 = self.rel_ref[None, :]
-            self.rel_ref_f = _jit_feat_builder(self.measure, "f")(ref2)
-            self.rel_ref_g = _jit_feat_builder(self.measure, "g")(ref2)
+            self.rel_ref_f = _jit_feat_builder(
+                self.measure, "f", repl=self.sharded
+            )(ref2)
+            self.rel_ref_g = _jit_feat_builder(
+                self.measure, "g", repl=self.sharded
+            )(ref2)
         # Warm up the device->host path once: on some transports the very
         # first D2H in a process can stall for minutes; a tiny transfer
         # here absorbs that.
@@ -913,8 +1022,18 @@ class _BlockEngine:
         when present, else built from the codes (once per strip)."""
         entry = self._fcache.get(id(m1))
         if entry is not None:
-            return _jit_fx_slice(self.measure, ti)(entry[1], i0)
-        return _jit_fx_strip(self.measure, ti)(m1, i0)
+            return _jit_fx_slice(self.measure, ti, repl=self.sharded)(
+                entry[1], i0
+            )
+        return _jit_fx_strip(self.measure, ti, repl=self.sharded)(m1, i0)
+
+    def gcache_usable(self, col_starts) -> bool:
+        """Whether the cached-g path can serve these column starts: the
+        sharded blocked layout only resolves tj-aligned block lookups
+        (misaligned strips fall back to the recomputing path)."""
+        if not self.sharded:
+            return True
+        return all(j0 % self.tj == 0 for j0 in col_starts)
 
     def block_feat(self, fx, gyf, i0: int, j0: int, ti: int, tj: int,
                    mode: str, nv=None, diag_off=None):
@@ -922,6 +1041,7 @@ class _BlockEngine:
         fn = _jit_block_fn_feat(
             self.measure, ti, tj, mode, self.width,
             diag_mask=(mode in ("rel", "rel4") and diag_off is not None),
+            sharded=self.sharded and tj == self.tj,
         )
         if mode in ("rel", "rel4"):
             nv1, nv2 = nv if nv is not None else (gyf.shape[1], gyf.shape[1])
@@ -1961,6 +2081,8 @@ def _dispatch_strip(eng: _BlockEngine, m1, m2, i0: int, col_starts, ti, tj,
     small arrays then fuse into ONE sidecar bundle so the strip costs
     two D2H requests total (lanes + bundle)."""
     gyf = eng.gfeat_of(m2)
+    if gyf is not None and not eng.gcache_usable(col_starts):
+        gyf = None  # sharded blocked cache needs tj-aligned starts
     if gyf is not None:
         # Cached-feature path: the strip's f-features build once, the
         # matrix's g-features were built once at prepare() — blocks are
@@ -2421,6 +2543,20 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     if pruned is not None:
         (src1, src2), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, float(n1) * n2 * max(width, 1))
+    if (
+        backend != "numpy"
+        and src1.size + src2.size > HBM_BUDGET_BYTES
+    ):
+        print(
+            f"[distance-tpu] out-of-core rectangle sweep:"
+            f" {(src1.size + src2.size) / 1e9:.2f} GB matrices >"
+            f" {HBM_BUDGET_BYTES / 1e9:.2f} GB HBM budget",
+            file=sys.stderr,
+        )
+        _sweep_rectangle_blocked(
+            setup, aln1, aln2, src1, src2, width, same_offset, backend
+        )
+        return
     ti, tj = _choose_tiles(n1, n2, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     dref = eng.diff_ref_for(src1)
@@ -2474,6 +2610,117 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
         )
 
     _pipeline_strips(strips(), emit)
+    emitter.finish()
+
+
+def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
+                             src1: np.ndarray, src2: np.ndarray, width: int,
+                             same_offset: int, backend: str) -> None:
+    """Out-of-core two-file sweep for matrices larger than HBM.
+
+    The reference computes file1 x file2 for any alignments that fit
+    host RAM (lib.rs:551-596, fastaio.rs:202-212) — its memory bound is
+    the host, not the accelerator.  This is the device analog of
+    _sweep_square_blocked for the rectangle: both matrices stay
+    host-resident, X row-groups (file1) and Y super-rows (file2) stage
+    through HBM, and each X group's counters accumulate in a host buffer
+    before its rows emit in canonical row-major order — output bytes
+    identical to the in-core rectangle sweep.
+    """
+    n1, n2 = aln1.n, aln2.n
+    ti, tj = _choose_tiles(n1, n2, setup, backend)
+    eng = _BlockEngine(setup.measure, backend, ti, tj, width)
+    plan = eng.plan
+    l_pad = -(-max(width, 1) // 128) * 128
+    row_bytes = l_pad * (
+        1 + eng.plan.total_channels if eng.feat_cache_on else 1
+    )
+    sr_rows = max(tj, (HBM_BUDGET_BYTES // 3 // row_bytes) // tj * tj)
+    bytes_per_pair = 4 * len(plan.counters)
+    group_cap = max(ti, int(HOST_BUF_BUDGET // max(1, n2 * bytes_per_pair))
+                    // ti * ti)
+    group_rows = min(sr_rows, group_cap)
+
+    strip_starts = list(range(0, n1, ti))
+    weights = [min(ti, n1 - i0) * n2 for i0 in strip_starts]
+    a, b = _split_strips(weights, setup.shard)
+    if a >= b:
+        return
+    done = _resume_skip(setup)
+    row_lo = strip_starts[a]
+    row_hi = min(n1, strip_starts[b - 1] + ti)
+    from distance_tpu.utils.timing import ProgressMeter
+
+    meter = ProgressMeter("sweep (out-of-core rect)", weights[a + done : b])
+    emitter = _AsyncEmitter()
+    pool = _ScratchPool()
+    dref = eng.diff_ref_for(src1)
+
+    for g0 in range(row_lo, row_hi, group_rows):
+        g1 = min(g0 + group_rows, row_hi)
+        last_ordinal = (g1 - 1 - row_lo) // ti
+        if last_ordinal < done:
+            continue
+        dev_x = eng.prepare(src1[g0:g1], ti, row_tile=ti, diff_ref=dref,
+                            cache_g=False, cache_f=True)
+        bufs = np.zeros((len(plan.counters), g1 - g0, n2), dtype=np.int32)
+
+        for q0 in range(0, n2, sr_rows):
+            q1 = min(q0 + sr_rows, n2)
+            dev_y = eng.prepare(src2[q0:q1], tj, row_tile=tj,
+                                diff_ref=dref)
+            col_starts = list(range(0, q1 - q0, tj))
+            sr_items = []
+            for i0_loc in range(0, g1 - g0, ti):
+                handle = _AsyncFetch(_dispatch_strip(
+                    eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
+                    nv=(g1 - g0, q1 - q0)
+                ))
+                sr_items.append((i0_loc, handle))
+            for i0_loc, handle in sr_items:
+                si = min(ti, g1 - g0 - i0_loc)
+                strip = _fetch_strip(
+                    eng, handle, si, q1 - q0,
+                    redispatch=lambda mode, i0_loc=i0_loc, g0=g0, g1=g1,
+                    q0=q0, q1=q1, col_starts=col_starts: _dispatch_strip(
+                        eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
+                        mode, nv=(g1 - g0, q1 - q0)
+                    ),
+                )
+                bufs[
+                    :, i0_loc : i0_loc + si, q0 : q0 + strip.shape[2]
+                ] = strip
+            eng.release(dev_y)
+            dev_y = None
+
+        # Emit the group's rows in canonical row-major order.
+        for i0_loc in range(0, g1 - g0, ti):
+            abs_i0 = g0 + i0_loc
+            ordinal = (abs_i0 - row_lo) // ti
+            if ordinal < done:
+                continue
+            si = min(ti, g1 - g0 - i0_loc)
+            lease: List[np.ndarray] = []
+            gathered = _gather_emit(
+                bufs[:, i0_loc : i0_loc + si], si, abs_i0, n2, 0,
+                pool, lease, tri=False,
+            )
+            if gathered is None:
+                continue
+            rows_c, pair_i, col_idx = gathered
+            counters = {
+                name: rows_c[k] for k, name in enumerate(plan.counters)
+            }
+            _emit_pairs(
+                setup, aln1, aln2, pair_i, col_idx, counters, same_offset,
+                emitter=emitter,
+                after=lambda ordinal=ordinal: (
+                    _progress_mark(setup, ordinal + 1), meter.tick()
+                ),
+                pool=pool, lease=lease,
+            )
+        eng.release(dev_x)
+        dev_x = None
     emitter.finish()
 
 

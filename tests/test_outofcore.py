@@ -7,7 +7,7 @@ import pytest
 import distance_tpu.engine as engine
 from distance_tpu.measures import MEASURES
 from tests.conftest import make_fasta, random_seqs
-from tests.test_golden import expected_square, run_engine
+from tests.test_golden import expected_rect, expected_square, run_engine
 
 
 @pytest.fixture
@@ -96,6 +96,93 @@ def test_blocked_rel4_masks_self_pairs(tiny_budgets, monkeypatch):
     got, _ = run_engine("raw", fasta, backend="xla", tile_i=8, tile_j=8)
     assert got == expected_square("raw", fasta)
     assert outcomes and all(outcomes)
+
+
+@pytest.mark.parametrize("measure", MEASURES)
+def test_blocked_rectangle_parity(measure, tiny_budgets, rng):
+    """Two-file (rectangle) out-of-core staging: tiny budgets force
+    multiple X groups AND Y super-rows; bytes must equal the in-core
+    oracle (reference capability: lib.rs:551-596 bounds two-file mode by
+    host RAM only)."""
+    f1 = make_fasta(random_seqs(rng, 37, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 23, 90, amb_frac=0.2))
+    got, _ = run_engine(measure, f1, f2, backend="xla", tile_i=8, tile_j=8)
+    assert got == expected_rect(measure, f1, f2)
+
+
+def test_blocked_rectangle_path_is_taken(tiny_budgets, rng, monkeypatch):
+    called = {}
+    orig = engine._sweep_rectangle_blocked
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(engine, "_sweep_rectangle_blocked", spy)
+    f1 = make_fasta(random_seqs(rng, 37, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 23, 90, amb_frac=0.2))
+    got, _ = run_engine("raw", f1, f2, backend="xla", tile_i=8, tile_j=8)
+    assert called.get("yes")
+    assert got == expected_rect("raw", f1, f2)
+
+
+@pytest.mark.parametrize("tile", [(8, 16), (16, 8)])
+def test_blocked_rectangle_mixed_tiles(tile, tiny_budgets, rng):
+    ti, tj = tile
+    f1 = make_fasta(random_seqs(rng, 37, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 23, 90, amb_frac=0.2))
+    got, _ = run_engine("jc69", f1, f2, backend="xla", tile_i=ti, tile_j=tj)
+    assert got == expected_rect("jc69", f1, f2)
+
+
+def test_blocked_rectangle_resume(tiny_budgets, rng, tmp_path, monkeypatch):
+    """--resume across the blocked rectangle: interrupt after two strip
+    checkpoints, resume must complete to byte-identical output."""
+    import io
+
+    from distance_tpu.engine import Setup, run
+    from distance_tpu.fastaio import load_fastas
+    from distance_tpu.progress import ProgressTracker
+    from distance_tpu.writer import TsvWriter
+
+    f1 = make_fasta(random_seqs(rng, 37, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 23, 90, amb_frac=0.2))
+    want = expected_rect("raw", f1, f2)
+    out_path = tmp_path / "out.tsv"
+
+    def make_setup(resume):
+        loaded = load_fastas([io.BytesIO(f1), io.BytesIO(f2)])
+        tracker = ProgressTracker(str(out_path))
+        if resume and tracker.load():
+            out = open(out_path, "r+b")
+            out.truncate(tracker.byte_offset)
+            out.seek(tracker.byte_offset)
+        else:
+            out = open(out_path, "wb")
+        return Setup(
+            loaded=loaded, streamed=None, writer=TsvWriter(out),
+            measure="raw", n_threads=1, batchsize=1, backend="xla",
+            consensus=None, tile_i=8, tile_j=8, progress=tracker,
+        )
+
+    class Boom(Exception):
+        pass
+
+    marks = {"n": 0}
+    orig = engine._progress_mark
+
+    def bomb(setup, units):
+        orig(setup, units)
+        marks["n"] += 1
+        if marks["n"] >= 2:
+            raise Boom()
+
+    monkeypatch.setattr(engine, "_progress_mark", bomb)
+    with pytest.raises(Boom):
+        run(make_setup(False))
+    monkeypatch.setattr(engine, "_progress_mark", orig)
+    run(make_setup(True))
+    assert out_path.read_bytes() == want
 
 
 def test_rel4_patched_minus8_is_not_saturation():
