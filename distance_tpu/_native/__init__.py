@@ -126,6 +126,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_keys_lin3.restype = None
     lib.dt_minmax_i32.argtypes = [p_i32, i64, i64, p_i32, p_i32]
     lib.dt_minmax_i32.restype = None
+    lib.dt_keys_rank2.argtypes = [
+        p_i32, p_i32, p_i32, p_i32, p_i32, i64, i64, i64, p_i32,
+    ]
+    lib.dt_keys_rank2.restype = None
+    lib.dt_keys_hashrank.argtypes = [
+        p_i32, p_i32, p_i32, p_i32, p_i32, i64, i64, i64,
+        p_i64, p_i32, i64, i64, p_i32,
+    ]
+    lib.dt_keys_hashrank.restype = i64
     return lib
 
 

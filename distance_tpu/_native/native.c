@@ -640,6 +640,69 @@ void dt_keys_lin3(const int32_t *a, const int32_t *b, const int32_t *c,
     }
 }
 
+/* tn93 keyed memo: fold the two sides' tally ranks into the counter
+ * key.  A pair's tn93 value is a pure function of (counters, tally_q +
+ * tally_t); equal (counter key, rank_q, rank_t) implies equal tally
+ * rows (ranks are dense over DISTINCT rows) hence an equal value, so
+ * the keyed writer can finalize one representative per combined key.
+ *   out[k] = keyc[k] * (rq_card * rt_card)
+ *            + rank_q[pair_i[k]] * rt_card + rank_t[pair_j[k]]        */
+void dt_keys_rank2(const int32_t *keyc, const int32_t *pair_i,
+                   const int32_t *pair_j, const int32_t *rank_q,
+                   const int32_t *rank_t, int64_t n, int64_t rq_card,
+                   int64_t rt_card, int32_t *out) {
+    const int64_t m = rq_card * rt_card;
+    for (int64_t k = 0; k < n; k++) {
+        out[k] = (int32_t)((int64_t)keyc[k] * m +
+                           (int64_t)rank_q[pair_i[k]] * rt_card +
+                           rank_t[pair_j[k]]);
+    }
+}
+
+/* Hash-rank variant of dt_keys_rank2 for key products beyond the dense
+ * rank table (tn93: counter-space x Rq x Rt routinely exceeds the
+ * dense cap even when the OCCURRING combinations are few).  Combines
+ * the 64-bit key per row and open-addresses it to a dense rank in
+ * [0, n_distinct); ranks are assigned in first-occurrence order, so
+ * output is deterministic.  Bails with -1 the moment distinct keys
+ * exceed `max_distinct` (the memo would not pay for itself) or the
+ * table fills.  `rank_tab` (1<<table_bits entries) must arrive filled
+ * with -1; `key_tab` is the same length. */
+int64_t dt_keys_hashrank(const int32_t *keyc, const int32_t *pair_i,
+                         const int32_t *pair_j, const int32_t *rank_q,
+                         const int32_t *rank_t, int64_t n, int64_t rq_card,
+                         int64_t rt_card, int64_t *key_tab,
+                         int32_t *rank_tab, int64_t table_bits,
+                         int64_t max_distinct, int32_t *out) {
+    const int64_t m = rq_card * rt_card;
+    const uint64_t mask = (UINT64_C(1) << table_bits) - 1;
+    int64_t nd = 0;
+    for (int64_t k = 0; k < n; k++) {
+        int64_t k64 = (int64_t)keyc[k] * m +
+                      (int64_t)rank_q[pair_i[k]] * rt_card +
+                      rank_t[pair_j[k]];
+        uint64_t h = ((uint64_t)k64 * UINT64_C(0x9E3779B97F4A7C15)) >>
+                     (64 - table_bits);
+        for (;;) {
+            int32_t rr = rank_tab[h];
+            if (rr < 0) {
+                if (nd >= max_distinct) return -1;
+                rank_tab[h] = (int32_t)nd;
+                key_tab[h] = k64;
+                out[k] = (int32_t)nd;
+                nd++;
+                break;
+            }
+            if (key_tab[h] == k64) {
+                out[k] = rr;
+                break;
+            }
+            h = (h + 1) & mask;
+        }
+    }
+    return nd;
+}
+
 /* Parallel-friendly min/max of an int32 array (range [r0, r1)). */
 void dt_minmax_i32(const int32_t *a, int64_t r0, int64_t r1,
                    int32_t *mn, int32_t *mx) {

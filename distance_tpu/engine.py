@@ -1277,15 +1277,25 @@ def _emit_pairs(
     if setup.measure == "tn93":
         bc = (aln1.base_counts, pair_i, aln2.base_counts, pair_j)
     with phase_timer("keys"):
-        keys, keyspace = _value_keys(setup.measure, counters, aln1.width,
-                                     pool, lease)
+        if (
+            setup.measure == "tn93"
+            and aln1.base_counts is not None
+            and aln2.base_counts is not None
+        ):
+            keys, keyspace = _tn93_value_keys(
+                counters, aln1.tally_ranks(), pair_i,
+                aln2.tally_ranks(), pair_j, pool, lease,
+            )
+        else:
+            keys, keyspace = _value_keys(setup.measure, counters,
+                                         aln1.width, pool, lease)
     if keys is not None:
         # Memoized tail: the writer ranks the keys and calls back with
         # one representative row per DISTINCT key — finalize runs over
         # thousands of rows instead of millions (the f64 logs and the
         # per-pair value array both vanish from the hot path).  Equal
-        # keys imply equal counters imply bit-identical values, so any
-        # representative is exact.
+        # keys imply equal counters (and, for tn93, equal tally rows)
+        # imply bit-identical values, so any representative is exact.
         measure = setup.measure
 
         def values(first_rows: Optional[np.ndarray]) -> np.ndarray:
@@ -1293,8 +1303,12 @@ def _emit_pairs(
                 with phase_timer("finalize"):
                     return finalize_block(measure, counters, bc)
             sub = {k: v[first_rows] for k, v in counters.items()}
+            sbc = None
+            if bc is not None:
+                bcq, iq, bct, it = bc
+                sbc = (bcq, iq[first_rows], bct, it[first_rows])
             with phase_timer("finalize"):
-                return finalize_block(measure, sub, None)
+                return finalize_block(measure, sub, sbc)
     else:
         out = None
         if (
@@ -1463,6 +1477,125 @@ def _value_keys(measure: str, counters: Dict[str, np.ndarray], width: int,
         keys = (nonl * np.int32(tm) + ts) * np.int32(vm) + tv
         return keys.astype(np.int32), tm * vm * lm
     return None, 0
+
+
+def _tn93_value_keys(counters: Dict[str, np.ndarray], rq, pair_i, rt,
+                     pair_j, pool: Optional[_ScratchPool] = None,
+                     lease=None):
+    """tn93 memo keys: (counter key, tally-rank-q, tally-rank-t).
+
+    tn93's value is a pure function of (kk, kk - same, p1, p2) and the
+    pairwise tally SUM (finalize_tn93, measures.rs:116-193) — equal
+    per-side tally rows imply an equal sum, so distinct tally rows
+    ranked once per side (Alignment.tally_ranks) make the value keyable.
+    When counter-space x Rq x Rt fits _KEYSPACE_CAP the key is dense
+    (mixed radix); beyond that a native hash-rank pass
+    (dt_keys_hashrank) densifies the OCCURRING combinations — on
+    duplicate-heavy real datasets (identical records => identical
+    tallies) those are few even when the product space is astronomical.
+    The maximal-diversity worst case (every record a distinct tally)
+    bails inside the hash pass the moment distinct keys exceed the
+    budget, at a bounded partial-pass cost.
+
+    ``rq``/``rt``: (rank int32 array indexed by pair_i/pair_j, cardinality).
+    """
+    from distance_tpu._native import get_lib
+
+    lib = get_lib()
+    rank_q, rq_card = rq
+    rank_t, rt_card = rt
+    kk, same = counters["kk"], counters["same"]
+    p1, p2 = counters["p1"], counters["p2"]
+    n = kk.shape[0]
+    if not n:
+        return None, 0
+
+    def scratch(m):
+        if pool is not None and lease is not None:
+            return pool.take(m, np.int32, lease)
+        return np.empty(m, dtype=np.int32)
+
+    native = (
+        lib is not None
+        and all(
+            v.dtype == np.int32 and v.flags.c_contiguous
+            for v in (kk, same, p1, p2, pair_i, pair_j, rank_q, rank_t)
+        )
+    )
+    if native:
+        d = scratch(n)
+        _lin3_native(lib, d, kk, same, None, 1, -1, 0, 0)
+        kk_mn, kk_mx = _minmax_native(lib, kk)
+        d_mn, d_mx = _minmax_native(lib, d)
+        p1_mn, p1_mx = _minmax_native(lib, p1)
+        p2_mn, p2_mx = _minmax_native(lib, p2)
+    else:
+        d = (kk - same).astype(np.int32)
+        kk_mn, kk_mx = int(kk.min()), int(kk.max())
+        d_mn, d_mx = int(d.min()), int(d.max())
+        p1_mn, p1_mx = int(p1.min()), int(p1.max())
+        p2_mn, p2_mx = int(p2.min()), int(p2.max())
+    km = kk_mx - kk_mn + 1
+    dm = d_mx - d_mn + 1
+    p1m = p1_mx - p1_mn + 1
+    p2m = p2_mx - p2_mn + 1
+    cspace = km * dm * p1m * p2m
+    keyspace = cspace * rq_card * rt_card
+    dense = keyspace <= _KEYSPACE_CAP
+    if not dense and (not native or keyspace > (1 << 62)):
+        # the hash path needs the native lib and a 64-bit combined key
+        return None, 0
+    # key_c = ((kk-kk_mn)*dm + (d-d_mn))*p1m*p2m + (p1-p1_mn)*p2m + (p2-p2_mn)
+    a_co = dm * p1m * p2m
+    b_co = p1m * p2m
+    c0 = -(kk_mn * a_co + d_mn * b_co + p1_mn * p2m + p2_mn)
+    if native:
+        import ctypes
+
+        t = scratch(n)
+        _lin3_native(lib, t, kk, d, None, a_co, b_co, 0, c0)
+        keyc = d  # reuse: d is consumed
+        _lin3_native(lib, keyc, p1, p2, t, p2m, 1, 1, 0)
+        keys = t  # reuse
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        if dense:
+            lib.dt_keys_rank2(
+                keyc.ctypes.data_as(p32), pair_i.ctypes.data_as(p32),
+                pair_j.ctypes.data_as(p32), rank_q.ctypes.data_as(p32),
+                rank_t.ctypes.data_as(p32), n, rq_card, rt_card,
+                keys.ctypes.data_as(p32),
+            )
+            return keys, keyspace
+        # Hash-rank: the dense product space is too large, but the
+        # OCCURRING combinations may be few (duplicate-heavy data).
+        # Produces already-dense keys, so the writer's rank table is
+        # exactly n_distinct; bails the moment distinct keys exceed the
+        # budget (memo would not pay), costing a bounded partial pass.
+        max_distinct = min(1 << 20, max(1024, n // 4))
+        table_bits = max(12, (2 * max_distinct - 1).bit_length())
+        tsize = 1 << table_bits
+        key_tab = np.empty(tsize, dtype=np.int64)
+        rank_tab = np.full(tsize, -1, dtype=np.int32)
+        nd = lib.dt_keys_hashrank(
+            keyc.ctypes.data_as(p32), pair_i.ctypes.data_as(p32),
+            pair_j.ctypes.data_as(p32), rank_q.ctypes.data_as(p32),
+            rank_t.ctypes.data_as(p32), n, rq_card, rt_card,
+            key_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rank_tab.ctypes.data_as(p32), table_bits, max_distinct,
+            keys.ctypes.data_as(p32),
+        )
+        if nd < 0:
+            return None, 0
+        return keys, int(nd)
+    keyc = (
+        (kk.astype(np.int64) - kk_mn) * a_co + (d.astype(np.int64) - d_mn) * b_co
+        + (p1.astype(np.int64) - p1_mn) * p2m + (p2.astype(np.int64) - p2_mn)
+    )
+    keys = (
+        keyc * (rq_card * rt_card)
+        + rank_q[pair_i].astype(np.int64) * rt_card + rank_t[pair_j]
+    )
+    return keys.astype(np.int32), keyspace
 
 
 def _tri_indices(si: int, i0: int, n: int):
@@ -2774,6 +2907,16 @@ def _run_stream(setup: Setup) -> None:
     backend = _resolve_backend(
         setup.backend, float(n1) * grows * max(width_dev, 1)
     )
+    # Staged stream: loaded side larger than the HBM budget stays
+    # host-resident and is swept in super-rows per dispatch group
+    # (reference memory model: loaded alignment + one batch in host RAM,
+    # lib.rs:269-365).  Bigger groups amortize the per-group re-upload.
+    l_pad_s = -(-max(width_dev, 1) // 128) * 128
+    staged = (
+        backend != "numpy" and float(n1) * l_pad_s > HBM_BUDGET_BYTES
+    )
+    if staged and not _os.environ.get("DISTANCE_TPU_STREAM_GROUP"):
+        grows = max(grows, 2048)
     ti = min(setup.tile_i or _auto_tile(n1, backend), _pow2_at_least(n1))
     eng = _BlockEngine(setup.measure, backend, ti, grows, width_dev)
     mat_dev_loaded = (
@@ -2790,7 +2933,22 @@ def _run_stream(setup: Setup) -> None:
         from distance_tpu.ops.diffup import mode_row
 
         diff_ref = mode_row(mat_dev_loaded)
-    m1 = eng.prepare(mat_dev_loaded, ti, diff_ref=diff_ref, cache_g=False)
+    if staged:
+        print(
+            f"[distance-tpu] staged stream: {n1 * l_pad_s / 1e9:.2f} GB"
+            f" loaded matrix > {HBM_BUDGET_BYTES / 1e9:.2f} GB HBM"
+            " budget; sweeping host-resident super-rows per group",
+            file=sys.stderr,
+        )
+        row_bytes = l_pad_s * (
+            1 + eng.plan.total_channels if eng.feat_cache_on else 1
+        )
+        sr_rows = max(ti, (HBM_BUDGET_BYTES // 3 // row_bytes) // ti * ti)
+        m1 = None
+    else:
+        m1 = eng.prepare(
+            mat_dev_loaded, ti, diff_ref=diff_ref, cache_g=False
+        )
     plan = eng.plan
 
     pending: List[tuple] = []
@@ -2831,20 +2989,41 @@ def _run_stream(setup: Setup) -> None:
             # loaded side indexed by row_idx, streamed side by local_cols
             bc = (aln.base_counts, row_idx, bcounts, local_cols)
         with phase_timer("keys"):
-            keys, keyspace = _value_keys(setup.measure, counters, width)
+            if (
+                setup.measure == "tn93" and bcounts is not None
+                and aln.base_counts is not None
+            ):
+                uniq, inv = np.unique(
+                    np.asarray(bcounts)[:bn], axis=0, return_inverse=True
+                )
+                grp_ranks = (
+                    np.ascontiguousarray(inv.reshape(-1), dtype=np.int32),
+                    int(uniq.shape[0]),
+                )
+                keys, keyspace = _tn93_value_keys(
+                    counters, aln.tally_ranks(), row_idx, grp_ranks,
+                    local_cols,
+                )
+            else:
+                keys, keyspace = _value_keys(setup.measure, counters,
+                                             width)
         if keys is not None:
             # deferred finalize-by-representative (see _emit_pairs): the
             # writer calls back with one row per distinct key, so the
             # per-pair value array is never materialized
             measure = setup.measure
 
-            def values(first_rows, counters=counters):
+            def values(first_rows, counters=counters, bc=bc):
                 if first_rows is None:
                     with phase_timer("finalize"):
-                        return finalize_block(measure, counters, None)
+                        return finalize_block(measure, counters, bc)
                 sub = {k: v[first_rows] for k, v in counters.items()}
+                sbc = None
+                if bc is not None:
+                    bcq, iq, bct, it = bc
+                    sbc = (bcq, iq[first_rows], bct, it[first_rows])
                 with phase_timer("finalize"):
-                    return finalize_block(measure, sub, None)
+                    return finalize_block(measure, sub, sbc)
         else:
             with phase_timer("finalize"):
                 values = finalize_block(setup.measure, counters, bc)
@@ -2897,7 +3076,9 @@ def _run_stream(setup: Setup) -> None:
             # batches — one pass instead of concatenate + pad (two full
             # copies of a ~250 MB group and an extra transient).
             rows_pad = -(-bn // grows) * grows
-            l_dev = width_dev if backend == "numpy" else m1.shape[1]
+            l_dev = width_dev if backend == "numpy" else (
+                l_pad_s if staged else m1.shape[1]
+            )
             padded = np.zeros((rows_pad, l_dev), dtype=np.uint8)
             offs_parts = []
             r = 0
@@ -2924,6 +3105,13 @@ def _run_stream(setup: Setup) -> None:
                     eng.block(m1, padded, i0, 0, ti, rows_pad, mode)
                     for i0 in range(0, n1, ti)
                 ], axis=1)
+        elif staged:
+            def dispatch(padded=padded, rows_pad=rows_pad, mode=None,
+                         bn=bn):
+                return _dispatch_stream_staged(
+                    eng, mat_dev_loaded, diff_ref, padded, rows_pad,
+                    mode, bn, n1, ti, sr_rows,
+                )
         else:
             def dispatch(padded=padded, rows_pad=rows_pad, mode=None,
                          bn=bn):
@@ -2977,9 +3165,58 @@ def _run_stream(setup: Setup) -> None:
     emitter.finish()
 
 
+class _StagedStrip:
+    """Already-fetched (C, n1, bn) int32 counters (staged stream mode:
+    the loaded side exceeded the HBM budget, so the dispatch itself
+    swept host-resident super-rows and fully assembled the group)."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = arr
+
+
+def _dispatch_stream_staged(eng: _BlockEngine, loaded: np.ndarray,
+                            diff_ref, padded: np.ndarray, rows_pad: int,
+                            mode, bn: int, n1: int, ti: int,
+                            sr_rows: int) -> _StagedStrip:
+    """Stream-group dispatch with a host-resident loaded side.
+
+    The reference bounds stream mode by host RAM — the loaded alignment
+    plus one batch (lib.rs:269-365) — with no device-memory ceiling.
+    The device analog: per dispatch group, stage loaded super-rows
+    through HBM, dispatch each against the (already padded) group, and
+    assemble the group's full (C, n1, bn) counters on the host.  Runs
+    synchronously on the dispatcher thread (overlapping parse and
+    emission on the main thread); pack-mode escalation on lane
+    saturation happens per super-row.  Costs one loaded-matrix
+    re-upload per group — groups are sized up under staging so compute
+    amortizes the wire.
+    """
+    plan = eng.plan
+    buf = np.empty((len(plan.counters), n1, bn), dtype=np.int32)
+    for q0 in range(0, n1, sr_rows):
+        q1 = min(q0 + sr_rows, n1)
+        m1q = eng.prepare(loaded[q0:q1], ti, row_tile=ti,
+                          diff_ref=diff_ref, cache_g=False)
+
+        def redisp(m, m1q=m1q, q0=q0, q1=q1):
+            return eng.dispatch_stream(m1q, padded, rows_pad, m,
+                                       nv=(q1 - q0, bn))
+
+        part = _fetch_stream_batch(
+            eng, _start_stream_fetch(redisp(mode)), q1 - q0, bn, redisp
+        )
+        buf[:, q0:q1, :] = part
+        eng.release(m1q)
+    return _StagedStrip(buf)
+
+
 def _start_stream_fetch(out):
     """Eagerly start D2H for a stream-dispatch result (rel modes return
     a (lanes, sidecar-bundle) pair; everything else a single array)."""
+    if isinstance(out, _StagedStrip):
+        return out
     if isinstance(out, tuple):
         return tuple(_AsyncFetch(h, axis=1) for h in out)
     return _AsyncFetch(out, axis=1)
@@ -3183,6 +3420,8 @@ def _rel_wide_refetch(eng: _BlockEngine, redispatch, vr: int, vc: int,
 def _fetch_stream_batch(eng: _BlockEngine, handle, valid_rows: int,
                         valid_cols: int, redispatch) -> np.ndarray:
     """Chunked fetch of a streamed batch's (P, n1_pad, batch) counters."""
+    if isinstance(handle, _StagedStrip):
+        return handle.arr
     if isinstance(handle, tuple):
         parts = tuple(h.result() for h in handle)
         return _finish_fetched(

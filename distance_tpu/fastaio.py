@@ -149,6 +149,24 @@ class Alignment:
         ).astype(np.int32)
         return self.base_counts
 
+    def tally_ranks(self):
+        """Dense ranks over DISTINCT ``base_counts`` rows, cached.
+
+        (rank int32 (n,), n_distinct) — the tn93 keyed-memo side key:
+        equal ranks imply identical (A,T,G,C) tally rows, hence (with
+        equal counters) bit-identical tn93 values."""
+        ranks = getattr(self, "_tally_ranks", None)
+        if ranks is None:
+            uniq, inv = np.unique(
+                self.base_counts, axis=0, return_inverse=True
+            )
+            ranks = (
+                np.ascontiguousarray(inv.reshape(-1), dtype=np.int32),
+                int(uniq.shape[0]),
+            )
+            self._tally_ranks = ranks
+        return ranks
+
 
 # Files above this size parse through the native C path when available.
 NATIVE_PARSE_MIN_BYTES = 1 << 20

@@ -52,6 +52,35 @@ def synth_counters(measure, ti, n, width, rng):
     raise SystemExit(f"unsupported measure for this bench: {measure}")
 
 
+def synth_tn93(n, width, rng, lineages):
+    """Duplicate-heavy tn93 fixture: records sampled from `lineages`
+    distinct sequences (outbreak-surveillance-like), so counters AND
+    tallies repeat per lineage pair — the structure the round-4 tally-
+    rank memo exploits.  Returns (lin (n,), tallies (L, 4) int32,
+    lineage-pair counter tables dict name -> (L, L) int32)."""
+    L = lineages
+    lin = rng.integers(0, L, size=n).astype(np.int32)
+    base = width // 4
+    tallies = (base + rng.integers(-30, 31, size=(L, 4))).astype(np.int32)
+    dd = rng.poisson(12.0, size=(L, L)).astype(np.int32)
+    p1 = np.minimum(rng.poisson(5.0, size=(L, L)).astype(np.int32), dd)
+    p2 = np.minimum(rng.poisson(3.0, size=(L, L)).astype(np.int32),
+                    dd - p1)
+    amb = rng.poisson(150.0, size=(L, L)).astype(np.int32)
+    kk = (width - amb).astype(np.int32)
+    same = (kk - dd).astype(np.int32)
+    return lin, tallies, {"same": same, "kk": kk, "p1": p1, "p2": p2}
+
+
+def expand_tn93_strip(tables, lin, i0, ti, n):
+    rows = lin[i0 : i0 + ti]
+    cols = lin[:n]
+    return np.stack([
+        np.ascontiguousarray(tables[name][rows][:, cols])
+        for name in ("same", "kk", "p1", "p2")
+    ])
+
+
 def main():
     from distance_tpu.engine import (
         Setup, _AsyncEmitter, _ScratchPool, _emit_pairs, _gather_emit,
@@ -81,11 +110,20 @@ def main():
     )
     rng = np.random.default_rng(0)
 
+    lineages = int(os.environ.get("EMIT_LINEAGES", 500))
     for measure in measures:
         plan = get_plan(measure)
-        strips = []
-        for s in range(n_strips):
-            strips.append(synth_counters(measure, ti, n, width, rng))
+        if measure == "tn93":
+            lin, tallies, tables = synth_tn93(n, width, rng, lineages)
+            aln.base_counts = np.ascontiguousarray(tallies[lin])
+            strips = [
+                expand_tn93_strip(tables, lin, s * ti, ti, n)
+                for s in range(n_strips)
+            ]
+        else:
+            strips = []
+            for s in range(n_strips):
+                strips.append(synth_counters(measure, ti, n, width, rng))
 
         out = open(out_path, "wb")
         setup = Setup(
@@ -170,7 +208,12 @@ def _validate(path, measure, strips, aln, ti, n, width, n_checks):
             name: strips[s][k, li, j : j + 1]
             for k, name in enumerate(plan.counters)
         }
-        v = finalize_block(measure, counters)[0]
+        bc = None
+        if measure == "tn93":
+            one = np.array([0], dtype=np.int32)
+            bc = (aln.base_counts[i : i + 1], one,
+                  aln.base_counts[j : j + 1], one)
+        v = finalize_block(measure, counters, bc)[0]
         vs = format_float(v) if v.dtype.kind == "f" else str(int(v))
         want[t] = f"{aln.ids[i]}\t{aln.ids[j]}\t{vs}".encode()
     bad = 0

@@ -185,6 +185,40 @@ def test_blocked_rectangle_resume(tiny_budgets, rng, tmp_path, monkeypatch):
     assert out_path.read_bytes() == want
 
 
+@pytest.mark.parametrize("measure", ["raw", "tn93", "n_high"])
+def test_staged_stream_parity(measure, tiny_budgets, rng, monkeypatch):
+    """Stream mode with a loaded side larger than the HBM budget: the
+    loaded matrix stays host-resident and every dispatch group sweeps it
+    in staged super-rows (reference memory model: lib.rs:269-365 bounds
+    stream mode by host RAM only).  Bytes must equal the in-core path."""
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "4")
+    called = {}
+    orig = engine._dispatch_stream_staged
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(engine, "_dispatch_stream_staged", spy)
+    f1 = make_fasta(random_seqs(rng, 33, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 21, 90, amb_frac=0.2))
+    want, _ = run_engine(measure, f1, stream=f2, backend="numpy")
+    got, _ = run_engine(measure, f1, stream=f2, backend="xla", tile_i=8)
+    assert called.get("yes"), "staged stream path never engaged"
+    assert got == want
+
+
+def test_staged_stream_batchsize_independence(tiny_budgets, rng, monkeypatch):
+    f1 = make_fasta(random_seqs(rng, 33, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 21, 90, amb_frac=0.2))
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "4")
+    want, _ = run_engine("jc69", f1, stream=f2, backend="xla", tile_i=8)
+    for b in (1, 3, 7):
+        got, _ = run_engine("jc69", f1, stream=f2, backend="xla",
+                            tile_i=8, batchsize=b)
+        assert got == want
+
+
 def test_rel4_patched_minus8_is_not_saturation():
     """A residual of exactly -8 travels in the sidecar; once patched the
     cell must not read as an unpatched sentinel."""
