@@ -130,11 +130,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p_i32, p_i32, p_i32, p_i32, p_i32, i64, i64, i64, p_i32,
     ]
     lib.dt_keys_rank2.restype = None
-    lib.dt_keys_hashrank.argtypes = [
-        p_i32, p_i32, p_i32, p_i32, p_i32, i64, i64, i64,
-        p_i64, p_i32, i64, i64, p_i32,
+    lib.dt_keys_hashrank_slots.argtypes = [
+        p_i32, p_i32, p_i32, p_i32, p_i32, i64, i64, i64, i64,
+        p_i64, i64, i64, p_i64, p_i32,
     ]
-    lib.dt_keys_hashrank.restype = i64
+    lib.dt_keys_hashrank_slots.restype = ctypes.c_int
+    lib.dt_map_i32.argtypes = [p_i32, i64, i64, p_i32]
+    lib.dt_map_i32.restype = None
     return lib
 
 

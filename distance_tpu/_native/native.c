@@ -661,46 +661,67 @@ void dt_keys_rank2(const int32_t *keyc, const int32_t *pair_i,
 
 /* Hash-rank variant of dt_keys_rank2 for key products beyond the dense
  * rank table (tn93: counter-space x Rq x Rt routinely exceeds the
- * dense cap even when the OCCURRING combinations are few).  Combines
- * the 64-bit key per row and open-addresses it to a dense rank in
- * [0, n_distinct); ranks are assigned in first-occurrence order, so
- * output is deterministic.  Bails with -1 the moment distinct keys
- * exceed `max_distinct` (the memo would not pay for itself) or the
- * table fills.  `rank_tab` (1<<table_bits entries) must arrive filled
- * with -1; `key_tab` is the same length. */
-int64_t dt_keys_hashrank(const int32_t *keyc, const int32_t *pair_i,
-                         const int32_t *pair_j, const int32_t *rank_q,
-                         const int32_t *rank_t, int64_t n, int64_t rq_card,
-                         int64_t rt_card, int64_t *key_tab,
-                         int32_t *rank_tab, int64_t table_bits,
-                         int64_t max_distinct, int32_t *out) {
+ * dense cap even when the OCCURRING combinations are few).  Phase 1 of
+ * three (the serial single-pass version was the measured tail of the
+ * tn93 composed emission at 401 M rows — 5.2 s): rows [r0, r1) combine
+ * their 64-bit key and claim a slot in the SHARED open-address table
+ * with a CAS, writing out[k] = slot index.  Chunks run concurrently;
+ * each key lands in exactly one slot because every prober walks the
+ * same probe path and either wins the CAS or observes the winner's key
+ * at that slot.  `key_tab` (1<<table_bits int64 entries) must arrive
+ * filled with -1 (keys are non-negative); `nd` is the shared atomic
+ * distinct counter.  Returns 0, or -1 once distinct keys exceed
+ * `max_distinct` (the memo would not pay; all chunks bail promptly).
+ * Rank values are assigned from the final table by the caller in
+ * ascending-key order, so results are deterministic regardless of racy
+ * slot placement. */
+int dt_keys_hashrank_slots(const int32_t *keyc, const int32_t *pair_i,
+                           const int32_t *pair_j, const int32_t *rank_q,
+                           const int32_t *rank_t, int64_t r0, int64_t r1,
+                           int64_t rq_card, int64_t rt_card,
+                           int64_t *key_tab, int64_t table_bits,
+                           int64_t max_distinct, int64_t *nd,
+                           int32_t *out) {
     const int64_t m = rq_card * rt_card;
     const uint64_t mask = (UINT64_C(1) << table_bits) - 1;
-    int64_t nd = 0;
-    for (int64_t k = 0; k < n; k++) {
+    for (int64_t k = r0; k < r1; k++) {
         int64_t k64 = (int64_t)keyc[k] * m +
                       (int64_t)rank_q[pair_i[k]] * rt_card +
                       rank_t[pair_j[k]];
         uint64_t h = ((uint64_t)k64 * UINT64_C(0x9E3779B97F4A7C15)) >>
                      (64 - table_bits);
         for (;;) {
-            int32_t rr = rank_tab[h];
-            if (rr < 0) {
-                if (nd >= max_distinct) return -1;
-                rank_tab[h] = (int32_t)nd;
-                key_tab[h] = k64;
-                out[k] = (int32_t)nd;
-                nd++;
-                break;
+            int64_t cur = __atomic_load_n(&key_tab[h], __ATOMIC_ACQUIRE);
+            if (cur == -1) {
+                if (__atomic_compare_exchange_n(&key_tab[h], &cur, k64, 0,
+                                                __ATOMIC_ACQ_REL,
+                                                __ATOMIC_ACQUIRE)) {
+                    if (__atomic_add_fetch(nd, 1, __ATOMIC_RELAXED) >
+                        max_distinct)
+                        return -1;
+                    out[k] = (int32_t)h;
+                    break;
+                }
+                /* CAS failed: cur now holds the winner's key. */
             }
-            if (key_tab[h] == k64) {
-                out[k] = rr;
+            if (cur == k64) {
+                out[k] = (int32_t)h;
                 break;
             }
             h = (h + 1) & mask;
         }
+        if ((k & 0x3FFFF) == 0 &&
+            __atomic_load_n(nd, __ATOMIC_RELAXED) > max_distinct)
+            return -1; /* another chunk overflowed; stop early */
     }
-    return nd;
+    return 0;
+}
+
+/* Phase 3 of the hash-rank: map each slot index to its rank, in place.
+ * (Phase 2 — ascending-key rank assignment over the <= 2^20 occupied
+ * slots — is a trivial numpy argsort in the caller.) */
+void dt_map_i32(const int32_t *tab, int64_t r0, int64_t r1, int32_t *buf) {
+    for (int64_t k = r0; k < r1; k++) buf[k] = tab[buf[k]];
 }
 
 /* Parallel-friendly min/max of an int32 array (range [r0, r1)). */

@@ -1490,7 +1490,8 @@ def _tn93_value_keys(counters: Dict[str, np.ndarray], rq, pair_i, rt,
     ranked once per side (Alignment.tally_ranks) make the value keyable.
     When counter-space x Rq x Rt fits _KEYSPACE_CAP the key is dense
     (mixed radix); beyond that a native hash-rank pass
-    (dt_keys_hashrank) densifies the OCCURRING combinations — on
+    (dt_keys_hashrank_slots, chunked across the pool) densifies the
+    OCCURRING combinations — on
     duplicate-heavy real datasets (identical records => identical
     tallies) those are few even when the product space is astronomical.
     The maximal-diversity worst case (every record a distinct tally)
@@ -1571,22 +1572,58 @@ def _tn93_value_keys(counters: Dict[str, np.ndarray], rq, pair_i, rt,
         # Produces already-dense keys, so the writer's rank table is
         # exactly n_distinct; bails the moment distinct keys exceed the
         # budget (memo would not pay), costing a bounded partial pass.
+        # Three phases so the row passes parallelize (the serial
+        # single-pass version measured 5.2 s at 401 M rows): (1) chunks
+        # CAS-claim slots in a shared table, out = slot index; (2) the
+        # <= 2^20 occupied slots rank in ascending-key order (numpy,
+        # deterministic regardless of racy slot placement); (3) chunks
+        # map slot -> rank in place.
         max_distinct = min(1 << 20, max(1024, n // 4))
         table_bits = max(12, (2 * max_distinct - 1).bit_length())
         tsize = 1 << table_bits
-        key_tab = np.empty(tsize, dtype=np.int64)
-        rank_tab = np.full(tsize, -1, dtype=np.int32)
-        nd = lib.dt_keys_hashrank(
-            keyc.ctypes.data_as(p32), pair_i.ctypes.data_as(p32),
-            pair_j.ctypes.data_as(p32), rank_q.ctypes.data_as(p32),
-            rank_t.ctypes.data_as(p32), n, rq_card, rt_card,
-            key_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            rank_tab.ctypes.data_as(p32), table_bits, max_distinct,
-            keys.ctypes.data_as(p32),
-        )
-        if nd < 0:
+        key_tab = np.full(tsize, -1, dtype=np.int64)
+        nd_ctr = np.zeros(1, dtype=np.int64)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        from distance_tpu.finalize import _get_pool
+
+        tpool = _get_pool()
+        step = max(1 << 21, -(-n // max(1, tpool._max_workers)))
+
+        def run1(lo, hi):
+            return lib.dt_keys_hashrank_slots(
+                keyc.ctypes.data_as(p32), pair_i.ctypes.data_as(p32),
+                pair_j.ctypes.data_as(p32), rank_q.ctypes.data_as(p32),
+                rank_t.ctypes.data_as(p32), lo, hi, rq_card, rt_card,
+                key_tab.ctypes.data_as(p64), table_bits, max_distinct,
+                nd_ctr.ctypes.data_as(p64), keys.ctypes.data_as(p32),
+            )
+
+        futs = [
+            tpool.submit(run1, lo, min(lo + step, n))
+            for lo in range(0, n, step)
+        ]
+        if any(f.result() < 0 for f in futs):
             return None, 0
-        return keys, int(nd)
+        nd = int(nd_ctr[0])
+        occ = np.flatnonzero(key_tab != -1)
+        rank_tab = np.empty(tsize, dtype=np.int32)
+        rank_tab[occ[np.argsort(key_tab[occ])]] = np.arange(
+            nd, dtype=np.int32
+        )
+
+        def run3(lo, hi):
+            lib.dt_map_i32(
+                rank_tab.ctypes.data_as(p32), lo, hi,
+                keys.ctypes.data_as(p32),
+            )
+
+        futs = [
+            tpool.submit(run3, lo, min(lo + step, n))
+            for lo in range(0, n, step)
+        ]
+        for f in futs:
+            f.result()
+        return keys, nd
     keyc = (
         (kk.astype(np.int64) - kk_mn) * a_co + (d.astype(np.int64) - d_mn) * b_co
         + (p1.astype(np.int64) - p1_mn) * p2m + (p2.astype(np.int64) - p2_mn)
@@ -2953,6 +2990,14 @@ def _run_stream(setup: Setup) -> None:
 
     pending: List[tuple] = []
     emitter = _AsyncEmitter()
+    # Round-3 emission-tail machinery, stream edition: groups repeat the
+    # same (bn, n1) shape, so the emission index arrays are computed once
+    # per distinct bn, counter vectors recycle through the scratch pool
+    # (fresh multi-GB allocs hit this VM's lazily-faulted first-touch
+    # path), and the padded upload buffer is reused across groups.
+    emit_idx_cache: Dict[int, tuple] = {}
+    spool = _ScratchPool()
+    pad_pool: List[List] = []  # [buffer2d, max_rows_ever_filled]
     # Dedicated dispatcher thread: encode + H2D + kernel enqueue cost
     # seconds per request on high-latency relays; doing it off the main
     # thread overlaps it with parse, fetch, and emission.  One thread
@@ -2962,25 +3007,37 @@ def _run_stream(setup: Setup) -> None:
     dispatcher = ThreadPoolExecutor(1)
 
     def flush_one() -> None:
-        g_ord, local_ord, ids2, bcounts, offs, fut, bn, redispatch = (
-            pending.pop(0)
-        )
+        (g_ord, local_ord, ids2, bcounts, offs, fut, bn, redispatch,
+         pad_entry) = pending.pop(0)
         with phase_timer("stream-fetch-wait"):
             strip = _fetch_stream_batch(eng, fut.result(), n1, bn,
                                         redispatch)
+        if pad_entry is not None:
+            # the fetch completing proves the upload was consumed; the
+            # padded buffer is free for the next group
+            pad_pool.append(pad_entry)
         # Emission: for each streamed record (outer), all loaded (inner)
         # with columns (loaded_id, streamed_id) — lib.rs:322-333.
         with phase_timer("stream-gather"):
-            local_cols = np.repeat(np.arange(bn, dtype=np.int32), n1)
-            row_idx = np.tile(np.arange(n1, dtype=np.int32), bn)
+            cached = emit_idx_cache.get(bn)
+            if cached is None:
+                local_cols = np.repeat(np.arange(bn, dtype=np.int32), n1)
+                row_idx = np.tile(np.arange(n1, dtype=np.int32), bn)
+                if len(emit_idx_cache) >= 4:  # bn takes few values
+                    emit_idx_cache.pop(next(iter(emit_idx_cache)))
+                emit_idx_cache[bn] = (row_idx, local_cols)
+            else:
+                row_idx, local_cols = cached
             # streamed-major emission == the transposed (bn, n1) flat
             # view, plus each record's invariant-column contribution
             # (the variant-split offset, same value for every loaded
             # row) — one native blocked pass per counter
+            lease: List[np.ndarray] = []
             counters = {
                 name: _transpose_add(
                     strip[k], n1, bn,
                     offs[name][:bn] if offs is not None else None,
+                    spool, lease,
                 )
                 for k, name in enumerate(plan.counters)
             }
@@ -3030,16 +3087,20 @@ def _run_stream(setup: Setup) -> None:
 
         def tail(ids2=ids2, row_idx=row_idx, local_cols=local_cols,
                  values=values, keys=keys, keyspace=keyspace,
-                 g_ord=g_ord, local_ord=local_ord):
-            if unit_index is not None:
-                pos0 = setup.writer.tell()
-            setup.writer.rows(
-                aln.ids, ids2, row_idx, local_cols, values, keys, keyspace
-            )
-            if unit_index is not None:
-                unit_index.append(g_ord, setup.writer.tell() - pos0)
-                unit_index.save()
-            _progress_mark(setup, local_ord + 1)
+                 g_ord=g_ord, local_ord=local_ord, lease=lease):
+            try:
+                if unit_index is not None:
+                    pos0 = setup.writer.tell()
+                setup.writer.rows(
+                    aln.ids, ids2, row_idx, local_cols, values, keys,
+                    keyspace,
+                )
+                if unit_index is not None:
+                    unit_index.append(g_ord, setup.writer.tell() - pos0)
+                    unit_index.save()
+                _progress_mark(setup, local_ord + 1)
+            finally:
+                spool.give_all(lease)
 
         with phase_timer("stream-emit-wait"):
             emitter.submit(tail)
@@ -3079,7 +3140,23 @@ def _run_stream(setup: Setup) -> None:
             l_dev = width_dev if backend == "numpy" else (
                 l_pad_s if staged else m1.shape[1]
             )
-            padded = np.zeros((rows_pad, l_dev), dtype=np.uint8)
+            # Recycle the previous group's buffer (returned to pad_pool
+            # once its fetch completed): rows [0:bn) are overwritten by
+            # the fill below, rows [bn:filled) carry stale data and are
+            # re-zeroed, rows beyond were never written and stay zero.
+            pad_entry = None
+            for k, (buf, filled) in enumerate(pad_pool):
+                if buf.shape[0] >= rows_pad and buf.shape[1] == l_dev:
+                    pad_entry = pad_pool.pop(k)
+                    padded = pad_entry[0][:rows_pad]
+                    if filled > bn:
+                        padded[bn:min(filled, rows_pad)] = 0
+                    pad_entry[1] = max(filled, bn)
+                    break
+            if pad_entry is None:
+                root = np.zeros((rows_pad, l_dev), dtype=np.uint8)
+                pad_entry = [root, bn]
+                padded = root
             offs_parts = []
             r = 0
             for b in group:
@@ -3126,7 +3203,8 @@ def _run_stream(setup: Setup) -> None:
             )
             pending.append(
                 (this_global, this_local, ids2, bcounts, offs, fut, bn,
-                 lambda mode, p=padded, rp=rows_pad: dispatch(p, rp, mode))
+                 lambda mode, p=padded, rp=rows_pad: dispatch(p, rp, mode),
+                 pad_entry)
             )
         # Bounded in-flight groups (pipelining over dispatch latency).
         while len(pending) > STREAM_PENDING:
@@ -3290,11 +3368,15 @@ def _unpack_rel_parts(eng: _BlockEngine, parts, vr: int, vc: int):
 
 
 def _transpose_add(mat: np.ndarray, n1: int, bn: int,
-                   add: Optional[np.ndarray]) -> np.ndarray:
+                   add: Optional[np.ndarray],
+                   spool: Optional[_ScratchPool] = None,
+                   lease: Optional[List[np.ndarray]] = None) -> np.ndarray:
     """(n1_pad, rows_pad)-strided counter matrix -> flat streamed-major
     (bn*n1,) int32 vector with an optional per-streamed-record offset
     added (stream variant-split).  Native blocked transpose chunked
-    across the pool when available; numpy fallback otherwise."""
+    across the pool when available; numpy fallback otherwise.  With
+    ``spool``/``lease`` the output recycles through the scratch pool
+    (give_all once the emission tail is done with it)."""
     from distance_tpu._native import get_lib
 
     lib = get_lib()
@@ -3316,7 +3398,11 @@ def _transpose_add(mat: np.ndarray, n1: int, bn: int,
         add if add is not None else np.zeros(bn, dtype=np.int32),
         dtype=np.int32,
     )
-    out = np.empty(bn * n1, dtype=np.int32)
+    out = (
+        spool.take(bn * n1, np.int32, lease)
+        if spool is not None and lease is not None
+        else np.empty(bn * n1, dtype=np.int32)
+    )
     p_i32 = ctypes.POINTER(ctypes.c_int32)
     in_stride = mat.strides[0] // 4
     pool = _get_pool()

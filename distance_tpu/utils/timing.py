@@ -4,10 +4,15 @@ The reference has no observability at all (SURVEY.md section 5.1); the
 engine records wall time per phase (parse/encode, precompute, device
 sweep, finalize, write) when ``DISTANCE_TPU_TRACE=1``, printing one line
 per phase to stderr and accumulating totals for the benchmark harness.
+``DISTANCE_TPU_TRACE_SUMMARY=1`` skips the per-occurrence lines and
+prints one accumulated per-phase total at process exit — the right mode
+for full-run phase breakdowns (a 1M-seq stream run times thousands of
+phase occurrences).
 """
 
 from __future__ import annotations
 
+import atexit
 import contextlib
 import os
 import sys
@@ -21,6 +26,22 @@ _COUNTS: Dict[str, int] = defaultdict(int)
 
 def enabled() -> bool:
     return os.environ.get("DISTANCE_TPU_TRACE", "") not in ("", "0")
+
+
+def summary_enabled() -> bool:
+    return os.environ.get("DISTANCE_TPU_TRACE_SUMMARY", "") not in ("", "0")
+
+
+@atexit.register
+def _print_summary() -> None:
+    if not _TOTALS or not (enabled() or summary_enabled()):
+        return
+    items = sorted(_TOTALS.items(), key=lambda kv: -kv[1])
+    parts = "  ".join(
+        f"{k}={v:.1f}s/{_COUNTS[k]}" for k, v in items
+    )
+    print(f"[distance-tpu] phase totals (s/count): {parts}",
+          file=sys.stderr)
 
 
 @contextlib.contextmanager

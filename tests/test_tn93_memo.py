@@ -172,3 +172,77 @@ def test_key_equivalence_is_exact(rng):
     )
     n_pairs = aln.n * (aln.n - 1) // 2
     assert len(groups) < n_pairs, "fixture produced no duplicate keys"
+
+
+def test_hashrank_parallel_deterministic(rng):
+    """The parallel hash-rank (dt_keys_hashrank_slots, round-4 follow-up
+    to the measured 5.2 s serial keys tail) must produce IDENTICAL keys
+    regardless of pool width: ranks are assigned in ascending-key order
+    from the final table, not in racy insertion order.  Grouping must
+    match the numpy combined-key oracle exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import distance_tpu.finalize as fin
+    from distance_tpu._native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    n, lineages, n1 = 200_000, 23, 95
+    rank_q = np.ascontiguousarray(
+        rng.integers(0, lineages, n1).astype(np.int32))
+    rank_t = np.ascontiguousarray(
+        rng.integers(0, lineages, n1).astype(np.int32))
+    pair_i = rng.integers(0, n1, n).astype(np.int32)
+    pair_j = rng.integers(0, n1, n).astype(np.int32)
+    base = {
+        name: rng.integers(lo, hi, size=(lineages, lineages)).astype(np.int32)
+        for name, (lo, hi) in (
+            ("kk", (100, 120)), ("same", (80, 100)),
+            ("p1", (0, 9)), ("p2", (0, 5)),
+        )
+    }
+    counters = {
+        k: np.ascontiguousarray(v[rank_q[pair_i], rank_t[pair_j]])
+        for k, v in base.items()
+    }
+    # force the hash path: shrink the dense cap below any product space
+    import distance_tpu.engine as eng
+
+    old_cap = eng._KEYSPACE_CAP
+    eng._KEYSPACE_CAP = 1
+    old_pool = fin._pool
+    try:
+        results = []
+        for workers in (1, 2, None):
+            if workers is None:
+                fin._pool = old_pool
+            else:
+                p = ThreadPoolExecutor(workers)
+                fin._pool = p
+            keys, nd = eng._tn93_value_keys(
+                {k: v.copy() for k, v in counters.items()},
+                (rank_q, lineages), pair_i, (rank_t, lineages), pair_j,
+            )
+            assert keys is not None
+            results.append((keys.copy(), nd))
+    finally:
+        eng._KEYSPACE_CAP = old_cap
+        fin._pool = old_pool
+    (k1, n1_), (k2, n2_), (k3, n3_) = results
+    assert n1_ == n2_ == n3_
+    assert np.array_equal(k1, k2) and np.array_equal(k2, k3)
+    # grouping oracle: a lexicographic combined key per row, same field
+    # order as the engine's mixed-radix key — ascending-key rank
+    # assignment makes the engine's dense ranks EQUAL np.unique's
+    # inverse, not merely a permutation of it
+    comb = (
+        counters["kk"].astype(np.int64) * (1 << 40)
+        + (counters["kk"] - counters["same"]).astype(np.int64) * (1 << 28)
+        + counters["p1"].astype(np.int64) * (1 << 16)
+        + counters["p2"].astype(np.int64) * (lineages * lineages)
+        + rank_q[pair_i].astype(np.int64) * lineages
+        + rank_t[pair_j]
+    )
+    uniq, want_inv = np.unique(comb, return_inverse=True)
+    assert np.array_equal(want_inv, k1)
+    assert int(nd) == len(uniq)
