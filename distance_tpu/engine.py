@@ -2494,9 +2494,10 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         return
     ti, tj = _choose_tiles(n, n, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
-    mat = eng.prepare(
-        source, max(ti, tj), diff_ref=eng.diff_ref_for(source)
-    )
+    with phase_timer("prepare-upload"):
+        mat = eng.prepare(
+            source, max(ti, tj), diff_ref=eng.diff_ref_for(source)
+        )
     plan = eng.plan
 
     strip_starts = list(range(0, n - 1, ti))
@@ -2730,8 +2731,9 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     ti, tj = _choose_tiles(n1, n2, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     dref = eng.diff_ref_for(src1)
-    m1 = eng.prepare(src1, ti, diff_ref=dref, cache_g=False)
-    m2 = eng.prepare(src2, tj, diff_ref=dref)
+    with phase_timer("prepare-upload"):
+        m1 = eng.prepare(src1, ti, diff_ref=dref, cache_g=False)
+        m2 = eng.prepare(src2, tj, diff_ref=dref)
     plan = eng.plan
     col_starts = list(range(0, n2, tj))
 
@@ -2983,9 +2985,12 @@ def _run_stream(setup: Setup) -> None:
         sr_rows = max(ti, (HBM_BUDGET_BYTES // 3 // row_bytes) // ti * ti)
         m1 = None
     else:
-        m1 = eng.prepare(
-            mat_dev_loaded, ti, diff_ref=diff_ref, cache_g=False
-        )
+        # timed: this H2D of the whole loaded matrix is the one stream
+        # phase that can silently eat minutes on a degraded relay
+        with phase_timer("stream-prepare-upload"):
+            m1 = eng.prepare(
+                mat_dev_loaded, ti, diff_ref=diff_ref, cache_g=False
+            )
     plan = eng.plan
 
     pending: List[tuple] = []
@@ -3059,11 +3064,11 @@ def _run_stream(setup: Setup) -> None:
                 )
                 keys, keyspace = _tn93_value_keys(
                     counters, aln.tally_ranks(), row_idx, grp_ranks,
-                    local_cols,
+                    local_cols, spool, lease,
                 )
             else:
                 keys, keyspace = _value_keys(setup.measure, counters,
-                                             width)
+                                             width, spool, lease)
         if keys is not None:
             # deferred finalize-by-representative (see _emit_pairs): the
             # writer calls back with one row per distinct key, so the
