@@ -1092,13 +1092,18 @@ class _BlockEngine:
         return sampled_mode_row(source)
 
     def dispatch_stream(self, m1, padded: np.ndarray, rows_pad: int,
-                        mode: Optional[str] = None, nv=None):
+                        mode: Optional[str] = None, nv=None,
+                        h2d_cache: Optional[dict] = None):
         """Fused dispatch of one whole stream group: diff rebuild (when
         the batch is low-diversity) + every loaded strip + packing in a
         single jitted call.  Returns a lazy (P, n1_pad, rows_pad) handle
         (a ``(lanes, sidecar-bundle)`` pair for the rel pack modes —
         ops/packing.bundle_sidecars fuses the baselines and the rel4
-        exception sidecar into one D2H request).  ``nv`` = (valid loaded rows, valid streamed rows)."""
+        exception sidecar into one D2H request).  ``nv`` = (valid loaded
+        rows, valid streamed rows).  ``h2d_cache``: a per-group dict the
+        staged sweep passes so the group's encode + H2D happen ONCE
+        instead of once per loaded super-row (the encode alone is a host
+        pass over the whole ~250 MB group)."""
         if mode is None:
             mode = self.stream_pack_mode
         n1_pad, l_pad = m1.shape
@@ -1112,6 +1117,11 @@ class _BlockEngine:
         # both the scatter rebuild base and the rel baseline row; rel
         # unpack is exact for any ref since baselines travel with the
         # fetch).
+        if h2d_cache is not None and "up_enc" in h2d_cache:
+            up, enc = h2d_cache["up_enc"]
+            return self._dispatch_stream_enc(
+                m1, padded, rows_pad, mode, nvs, up, enc, h2d_cache
+            )
         up = self.diff_up
         enc = up.encode(padded, n_real=int(nv2)) if up is not None else None
         if enc is None and up is not None:
@@ -1151,18 +1161,44 @@ class _BlockEngine:
                         self._retarget_fail_streak += 1
                 if enc2 is not None:
                     up, enc = cand, enc2
+        if h2d_cache is not None:
+            if enc is not None:
+                # device-put the diff encoding once so every super-row
+                # dispatch reuses the same device arrays
+                import jax.numpy as jnp
+
+                enc = (jnp.asarray(enc[0]), jnp.asarray(enc[1]))
+            h2d_cache["up_enc"] = (up, enc)
+        return self._dispatch_stream_enc(
+            m1, padded, rows_pad, mode, nvs, up, enc, h2d_cache
+        )
+
+    def _dispatch_stream_enc(self, m1, padded: np.ndarray, rows_pad: int,
+                             mode: str, nvs, up, enc, h2d_cache):
+        """Dispatch one stream group against ``m1`` with an
+        already-resolved (uploader, encoding) pair — the tail of
+        dispatch_stream, factored so the staged sweep can reuse the
+        group's encode/H2D across loaded super-rows."""
+        n1_pad, l_pad = m1.shape
         if enc is None:
             fn = _jit_stream_fn(
                 self.measure, self.backend, self.ti, rows_pad, n1_pad,
                 mode, self.width, l_pad, None, self.sharded,
             )
+            dense = (
+                h2d_cache.get("dense") if h2d_cache is not None else None
+            )
+            if dense is None:
+                dense = _chunked_h2d(padded)
+                if h2d_cache is not None:
+                    h2d_cache["dense"] = dense
             if mode in ("rel", "rel4"):
                 # dense path: the ref is only the rel baseline row — any
                 # reference is exact; use the uploader's when present so
                 # ref reuse keeps the jit executable warm
                 ref = up.ref_dev() if up is not None else self.rel_ref
-                return fn(m1, ref, _chunked_h2d(padded), *nvs)
-            return fn(m1, _chunked_h2d(padded))
+                return fn(m1, ref, dense, *nvs)
+            return fn(m1, dense)
         idx, vals = enc
         fn = _jit_stream_fn(
             self.measure, self.backend, self.ti, rows_pad, n1_pad,
@@ -1543,8 +1579,15 @@ def _tn93_value_keys(counters: Dict[str, np.ndarray], rq, pair_i, rt,
     cspace = km * dm * p1m * p2m
     keyspace = cspace * rq_card * rt_card
     dense = keyspace <= _KEYSPACE_CAP
-    if not dense and (not native or keyspace > (1 << 62)):
-        # the hash path needs the native lib and a 64-bit combined key
+    if not dense and (
+        not native or keyspace > (1 << 62) or cspace > (1 << 31)
+    ):
+        # the hash path needs the native lib, a 64-bit combined key, and
+        # a counter key that fits int32 (keyc is built by dt_keys_lin3
+        # into an int32 buffer; cspace beyond 2^31 would truncate it and
+        # collide DISTINCT counter tuples onto one memo key — silently
+        # wrong values).  Spreads that wide mean maximal diversity,
+        # where the memo would not pay anyway.
         return None, 0
     # key_c = ((kk-kk_mn)*dm + (d-d_mn))*p1m*p2m + (p1-p1_mn)*p2m + (p2-p2_mn)
     a_co = dm * p1m * p2m
@@ -1602,7 +1645,11 @@ def _tn93_value_keys(counters: Dict[str, np.ndarray], rq, pair_i, rt,
             tpool.submit(run1, lo, min(lo + step, n))
             for lo in range(0, n, step)
         ]
-        if any(f.result() < 0 for f in futs):
+        # await EVERY chunk before deciding: a short-circuit on the
+        # first overflow would return (and later recycle the pool lease
+        # backing `keys`) while straggler chunks are still writing into
+        # it — cross-strip buffer corruption
+        if any(r < 0 for r in [f.result() for f in futs]):
             return None, 0
         nd = int(nd_ctr[0])
         occ = np.flatnonzero(key_tab != -1)
@@ -2590,7 +2637,13 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
     bytes_per_pair = 4 * len(plan.counters)
     group_cap = max(ti, int(HOST_BUF_BUDGET // max(1, n * bytes_per_pair))
                     // ti * ti)
-    group_rows = min(sr_rows, group_cap)
+    # The X group gets its own ti-aligned HBM cap: group_rows MUST be a
+    # multiple of ti or the resume/progress ordinals (abs_i0 - row_lo)
+    # // ti collide across groups and --resume silently skips
+    # never-emitted strips (sr_rows is only tj-aligned; ti != tj
+    # happens at auto tiles whenever n1 >> n2, and via Setup.tile_i/j)
+    x_cap = max(ti, (HBM_BUDGET_BYTES // 3 // row_bytes) // ti * ti)
+    group_rows = min(x_cap, group_cap)
 
     # Multi-host sharding: restrict to this shard's strip row range.
     strip_starts = list(range(0, n - 1, ti))
@@ -2811,7 +2864,10 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
     bytes_per_pair = 4 * len(plan.counters)
     group_cap = max(ti, int(HOST_BUF_BUDGET // max(1, n2 * bytes_per_pair))
                     // ti * ti)
-    group_rows = min(sr_rows, group_cap)
+    # ti-aligned X cap: see _sweep_square_blocked — a tj-aligned
+    # group_rows collides resume ordinals when ti != tj
+    x_cap = max(ti, (HBM_BUDGET_BYTES // 3 // row_bytes) // ti * ti)
+    group_rows = min(x_cap, group_cap)
 
     strip_starts = list(range(0, n1, ti))
     weights = [min(ti, n1 - i0) * n2 for i0 in strip_starts]
@@ -2954,8 +3010,23 @@ def _run_stream(setup: Setup) -> None:
     staged = (
         backend != "numpy" and float(n1) * l_pad_s > HBM_BUDGET_BYTES
     )
-    if staged and not _os.environ.get("DISTANCE_TPU_STREAM_GROUP"):
-        grows = max(grows, 2048)
+    pending_cap = STREAM_PENDING
+    if staged:
+        if not _os.environ.get("DISTANCE_TPU_STREAM_GROUP"):
+            grows = max(grows, 2048)
+            # each staged group assembles a (C, n1, grows) int32 host
+            # buffer; bound it by HOST_BUF_BUDGET or a large loaded side
+            # (the very case that triggers staging) silently holds tens
+            # of GB of host RAM across the in-flight groups
+            bytes_per_col = 4 * len(get_plan(setup.measure).counters) * n1
+            cap_rows = max(
+                256, HOST_BUF_BUDGET // max(1, bytes_per_col) // 2 * 2
+            )
+            grows = min(grows, cap_rows)
+        grp_bytes = 4 * len(get_plan(setup.measure).counters) * n1 * grows
+        pending_cap = max(
+            1, min(STREAM_PENDING, HOST_BUF_BUDGET // max(1, grp_bytes))
+        )
     ti = min(setup.tile_i or _auto_tile(n1, backend), _pow2_at_least(n1))
     eng = _BlockEngine(setup.measure, backend, ti, grows, width_dev)
     mat_dev_loaded = (
@@ -3211,8 +3282,10 @@ def _run_stream(setup: Setup) -> None:
                  lambda mode, p=padded, rp=rows_pad: dispatch(p, rp, mode),
                  pad_entry)
             )
-        # Bounded in-flight groups (pipelining over dispatch latency).
-        while len(pending) > STREAM_PENDING:
+        # Bounded in-flight groups (pipelining over dispatch latency;
+        # pending_cap shrinks under staging so the assembled (C, n1, bn)
+        # host buffers stay within HOST_BUF_BUDGET).
+        while len(pending) > pending_cap:
             flush_one()
 
     _SENTINEL = object()
@@ -3278,14 +3351,26 @@ def _dispatch_stream_staged(eng: _BlockEngine, loaded: np.ndarray,
     """
     plan = eng.plan
     buf = np.empty((len(plan.counters), n1, bn), dtype=np.int32)
+    # one encode + H2D for the whole group (filled by the first
+    # dispatch, reused by every later super-row — the encode alone is a
+    # host pass over the full group)
+    h2d_cache: dict = {}
     for q0 in range(0, n1, sr_rows):
         q1 = min(q0 + sr_rows, n1)
-        m1q = eng.prepare(loaded[q0:q1], ti, row_tile=ti,
-                          diff_ref=diff_ref, cache_g=False)
+        # diff_ref only on the first super-row: prepare() rebuilds the
+        # DiffUploader whenever it is passed, and the uploader persists
+        # on the engine — rebuilding it per super-row would both waste a
+        # ref upload and invalidate the group's cached encoding
+        m1q = eng.prepare(
+            loaded[q0:q1], ti, row_tile=ti,
+            diff_ref=diff_ref if eng.diff_up is None else None,
+            cache_g=False,
+        )
 
         def redisp(m, m1q=m1q, q0=q0, q1=q1):
             return eng.dispatch_stream(m1q, padded, rows_pad, m,
-                                       nv=(q1 - q0, bn))
+                                       nv=(q1 - q0, bn),
+                                       h2d_cache=h2d_cache)
 
         part = _fetch_stream_batch(
             eng, _start_stream_fetch(redisp(mode)), q1 - q0, bn, redisp

@@ -68,15 +68,19 @@ def main():
         if workers is not None:
             fin._pool = old
         assert keys is not None, "hash path did not engage"
-        results[label] = (dt, int(nd))
+        results[label] = (dt, int(nd), keys)
         print(f"{label}: {dt:.3f}s  nd={nd}  "
               f"({n / dt / 1e6:.1f} M rows/s)", file=sys.stderr)
 
-    # cross-check: both paths must produce identical grouping
+    # cross-check: serial and parallel keys must be IDENTICAL (ranks
+    # are assigned in ascending-key order, so pool width cannot matter)
+    assert np.array_equal(
+        results["serial_1worker"][2], results["parallel"][2]
+    ), "serial and parallel hash-rank keys differ"
+    assert results["serial_1worker"][1] == results["parallel"][1]
     import json
 
-    s = results["serial_1worker"][0]
-    p = results["parallel"][0]
+    s, p = results["serial_1worker"][0], results["parallel"][0]
     print(json.dumps({
         "rows": n, "lineages": lineages,
         "serial_1worker_s": round(s, 3), "parallel_s": round(p, 3),

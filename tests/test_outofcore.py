@@ -249,3 +249,114 @@ def test_stream_group_env_rounds_to_even(monkeypatch):
     assert _stream_group_rows(100) == 502
     monkeypatch.setenv("DISTANCE_TPU_STREAM_GROUP", "1")
     assert _stream_group_rows(100) == 2
+
+
+def _interrupted_run(make_setup, monkeypatch, marks_before_boom=2):
+    """Run, raise after N progress marks, then resume to completion."""
+    from distance_tpu.engine import run
+
+    class Boom(Exception):
+        pass
+
+    marks = {"n": 0}
+    orig = engine._progress_mark
+
+    def bomb(setup, units):
+        orig(setup, units)
+        marks["n"] += 1
+        if marks["n"] >= marks_before_boom:
+            raise Boom()
+
+    monkeypatch.setattr(engine, "_progress_mark", bomb)
+    with pytest.raises(Boom):
+        run(make_setup(False))
+    monkeypatch.setattr(engine, "_progress_mark", orig)
+    run(make_setup(True))
+
+
+def test_blocked_rectangle_resume_misaligned_tiles(
+    tiny_budgets, rng, tmp_path, monkeypatch
+):
+    """Resume with ti > tj through the blocked rectangle: group_rows
+    must stay ti-aligned or the strip ordinals (abs_i0 - row_lo) // ti
+    collide across groups and --resume silently SKIPS never-emitted
+    strips (regression: group_rows used tj-aligned sr_rows, so ti=16 /
+    tj=8 under a tiny HBM budget produced 8-row groups that all mapped
+    to the same ordinal)."""
+    import io
+
+    from distance_tpu.engine import Setup
+    from distance_tpu.fastaio import load_fastas
+    from distance_tpu.progress import ProgressTracker
+    from distance_tpu.writer import TsvWriter
+
+    f1 = make_fasta(random_seqs(rng, 37, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 23, 90, amb_frac=0.2))
+    want = expected_rect("raw", f1, f2)
+    out_path = tmp_path / "out.tsv"
+
+    def make_setup(resume):
+        loaded = load_fastas([io.BytesIO(f1), io.BytesIO(f2)])
+        tracker = ProgressTracker(str(out_path))
+        if resume and tracker.load():
+            out = open(out_path, "r+b")
+            out.truncate(tracker.byte_offset)
+            out.seek(tracker.byte_offset)
+        else:
+            out = open(out_path, "wb")
+        return Setup(
+            loaded=loaded, streamed=None, writer=TsvWriter(out),
+            measure="raw", n_threads=1, batchsize=1, backend="xla",
+            consensus=None, tile_i=16, tile_j=8, progress=tracker,
+        )
+
+    # single-device: the 8-virtual-device conftest mesh makes
+    # _choose_tiles round tj up to a multiple of ti, which masks the
+    # misalignment — production single-chip runs don't get that rounding
+    import jax
+
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    # interrupt at the FIRST mark: pre-fix, resume (done=1) then skips
+    # the second 8-row group whose ordinal also floored to 0 — rows
+    # 8..15 vanished from the output
+    _interrupted_run(make_setup, monkeypatch, marks_before_boom=1)
+    assert out_path.read_bytes() == want
+
+
+def test_blocked_square_resume_misaligned_tiles(
+    tiny_budgets, rng, tmp_path, monkeypatch
+):
+    """Same ordinal-alignment property through the blocked SQUARE sweep
+    (ti != tj happens there too: auto tiles differ when n1 >> n2, and
+    Setup.tile_i/tile_j are independently settable)."""
+    import io
+
+    from distance_tpu.engine import Setup
+    from distance_tpu.fastaio import load_fastas
+    from distance_tpu.progress import ProgressTracker
+    from distance_tpu.writer import TsvWriter
+
+    fasta = make_fasta(random_seqs(rng, 52, 90, amb_frac=0.2))
+    want = expected_square("raw", fasta)
+    out_path = tmp_path / "out.tsv"
+
+    def make_setup(resume):
+        loaded = load_fastas([io.BytesIO(fasta)])
+        tracker = ProgressTracker(str(out_path))
+        if resume and tracker.load():
+            out = open(out_path, "r+b")
+            out.truncate(tracker.byte_offset)
+            out.seek(tracker.byte_offset)
+        else:
+            out = open(out_path, "wb")
+        return Setup(
+            loaded=loaded, streamed=None, writer=TsvWriter(out),
+            measure="raw", n_threads=1, batchsize=1, backend="xla",
+            consensus=None, tile_i=16, tile_j=8, progress=tracker,
+        )
+
+    import jax
+
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    _interrupted_run(make_setup, monkeypatch, marks_before_boom=1)
+    assert out_path.read_bytes() == want

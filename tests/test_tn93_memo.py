@@ -246,3 +246,32 @@ def test_hashrank_parallel_deterministic(rng):
     uniq, want_inv = np.unique(comb, return_inverse=True)
     assert np.array_equal(want_inv, k1)
     assert int(nd) == len(uniq)
+
+
+def test_hash_path_bails_on_int32_counter_overflow(rng):
+    """Counter spreads whose mixed-radix product exceeds 2^31 MUST
+    disable the memo: keyc is built into an int32 buffer by
+    dt_keys_lin3, so a wider product would truncate and collide DISTINCT
+    counter tuples onto one memo key — silently wrong tn93 values
+    (reproduced pre-fix: kk=0/same=0 and kk=1/same=1 shared a key at
+    p1m=p2m=2^16).  Equal keys must imply equal values; when that cannot
+    be guaranteed the function's contract is to return (None, 0)."""
+    from distance_tpu._native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    n, n1 = 64, 8
+    mk = lambda a: np.ascontiguousarray(np.asarray(a, dtype=np.int32))
+    kk = mk(rng.integers(0, 2, n))
+    same = mk(kk)  # d = 0 everywhere: dm = 1
+    p1 = mk(rng.choice([0, (1 << 16) - 1], n))
+    p2 = mk(rng.choice([0, (1 << 16) - 1], n))
+    # cspace = 2 * 1 * 2^16 * 2^16 = 2^33 > 2^31: int32 keyc would wrap
+    pair_i = mk(rng.integers(0, n1, n))
+    pair_j = mk(rng.integers(0, n1, n))
+    rank = mk(np.arange(n1))
+    keys, nd = engine._tn93_value_keys(
+        {"kk": kk, "same": same, "p1": p1, "p2": p2},
+        (rank, n1), pair_i, (rank, n1), pair_j,
+    )
+    assert keys is None and nd == 0
