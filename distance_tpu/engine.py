@@ -497,13 +497,28 @@ FEATCACHE_BUDGET = int(
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_replicated3(f, repl: bool):
+    """jit a rank-3-output fn, optionally pinning the output REPLICATED
+    across the all-device "dp" mesh — sharded engines consume strip and
+    reference feature tensors whole on every chip."""
+    import jax
+
+    if not repl:
+        return jax.jit(f)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+    return jax.jit(
+        f, out_shardings=NamedSharding(mesh, P(None, None, None))
+    )
+
+
 def _jit_feat_builder(measure: str, side: str, repl: bool = False):
     """codes (n, L) -> (R, n, L) int8 feature tensor, on device.
 
     ``repl``: pin the output replicated across the device mesh (used by
     sharded engines for strip/reference features, which every chip's
     block contraction consumes whole)."""
-    import jax
     import jax.numpy as jnp
 
     plan = get_plan(measure)
@@ -511,14 +526,7 @@ def _jit_feat_builder(measure: str, side: str, repl: bool = False):
     def f(codes):
         return features_device(codes, plan, side, jnp, jnp.int8)
 
-    if repl:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
-        return jax.jit(
-            f, out_shardings=NamedSharding(mesh, P(None, None, None))
-        )
-    return jax.jit(f)
+    return _jit_replicated3(f, repl)
 
 
 @functools.lru_cache(maxsize=None)
@@ -576,14 +584,7 @@ def _jit_fx_strip(measure: str, ti: int, repl: bool = False):
         x = jax.lax.dynamic_slice(codes, (i0, 0), (ti, codes.shape[1]))
         return features_device(x, plan, "f", jnp, jnp.int8)
 
-    if repl:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
-        return jax.jit(
-            f, out_shardings=NamedSharding(mesh, P(None, None, None))
-        )
-    return jax.jit(f)
+    return _jit_replicated3(f, repl)
 
 
 @functools.lru_cache(maxsize=None)
@@ -599,14 +600,7 @@ def _jit_fx_slice(measure: str, ti: int, repl: bool = False):
             ffull, (0, i0, 0), (r, ti, ffull.shape[2])
         )
 
-    if repl:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
-        return jax.jit(
-            f, out_shardings=NamedSharding(mesh, P(None, None, None))
-        )
-    return jax.jit(f)
+    return _jit_replicated3(f, repl)
 
 
 @functools.lru_cache(maxsize=None)

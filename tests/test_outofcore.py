@@ -360,3 +360,34 @@ def test_blocked_square_resume_misaligned_tiles(
     monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
     _interrupted_run(make_setup, monkeypatch, marks_before_boom=1)
     assert out_path.read_bytes() == want
+
+
+def test_staged_stream_group_rows_bounded_by_host_budget(rng, monkeypatch):
+    """Staged groups assemble (C, n1, bn) int32 host buffers; bn must be
+    capped so one buffer fits HOST_BUF_BUDGET (a loaded side big enough
+    to trigger staging would otherwise hold tens of GB across the
+    in-flight groups)."""
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", 2000)
+    # raw has 2 counters: bytes_per_col = 4 * 2 * n1 = 264 at n1=33;
+    # budget 4000 -> cap_rows = floor(4000/264) rounded down to even = 14
+    monkeypatch.setattr(engine, "HOST_BUF_BUDGET", 4000)
+    monkeypatch.delenv("DISTANCE_TPU_STREAM_GROUP", raising=False)
+    seen = []
+    orig = engine._dispatch_stream_staged
+
+    def spy(eng, loaded, diff_ref, padded, rows_pad, mode, bn, n1, ti,
+            sr_rows):
+        seen.append(bn)
+        return orig(eng, loaded, diff_ref, padded, rows_pad, mode, bn,
+                    n1, ti, sr_rows)
+
+    monkeypatch.setattr(engine, "_dispatch_stream_staged", spy)
+    f1 = make_fasta(random_seqs(rng, 33, 90, amb_frac=0.2))
+    f2 = make_fasta(random_seqs(rng, 40, 90, amb_frac=0.2))
+    want, _ = run_engine("raw", f1, stream=f2, backend="numpy")
+    got, _ = run_engine("raw", f1, stream=f2, backend="xla", tile_i=8)
+    assert got == want
+    assert seen, "staged path never engaged"
+    n1 = 33
+    cap_rows = max(256, 4000 // (4 * 2 * n1) // 2 * 2)
+    assert all(bn <= cap_rows for bn in seen), (seen, cap_rows)
