@@ -496,11 +496,17 @@ FEATCACHE_BUDGET = int(
 )
 
 
-@functools.lru_cache(maxsize=None)
 def _jit_replicated3(f, repl: bool):
     """jit a rank-3-output fn, optionally pinning the output REPLICATED
     across the all-device "dp" mesh — sharded engines consume strip and
-    reference feature tensors whole on every chip."""
+    reference feature tensors whole on every chip.
+
+    NOT memoized here: every caller is itself an lru_cached factory
+    (so each unique key reaches this exactly once).  A closure-keyed
+    lru_cache at this level is a trap — a caller that builds a fresh
+    closure per call (the 205af23 regression on _jit_feat_builder)
+    never hits it and leaks one compiled executable per call; see
+    tests/test_jit_factories.py for the identity pins."""
     import jax
 
     if not repl:
@@ -513,6 +519,7 @@ def _jit_replicated3(f, repl: bool):
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _jit_feat_builder(measure: str, side: str, repl: bool = False):
     """codes (n, L) -> (R, n, L) int8 feature tensor, on device.
 
@@ -856,6 +863,11 @@ class _BlockEngine:
             self._rel4_shard_ok = (tj // 2) % jax.device_count() == 0
         # Diff-encoded uploads (ops/diffup.py): set by prepare(diff_ref=)
         self.diff_up = None
+        # identity of the diff_ref array the uploader was built from:
+        # the blocked sweeps pass the same reference row object for
+        # every staged super-row, and rebuilding the uploader per
+        # prepare() would re-upload the ref row each time
+        self._diff_ref_src = None
         # Reference row on device for rel packing (set by prepare)
         self.rel_ref = None
         # Consecutive narrow-pack saturations; past the sticky limit the
@@ -892,7 +904,8 @@ class _BlockEngine:
     def prepare(self, matrix: np.ndarray, max_block: int,
                 row_tile: Optional[int] = None,
                 diff_ref: Optional[np.ndarray] = None,
-                cache_g: bool = True, cache_f: bool = False) -> object:
+                cache_g: bool = True, cache_f: bool = False,
+                h2d_memo: Optional[dict] = None) -> object:
         """Pad and (for device backends) upload a sequence matrix.
 
         ``max_block`` is the largest tile size whose slices must stay in
@@ -901,6 +914,10 @@ class _BlockEngine:
         by the out-of-core sweep for super-row staging).  ``diff_ref``
         (a width-length code row) enables diff-encoded uploads against
         that reference for this matrix and later stream dispatches.
+        ``h2d_memo``: a per-super-row dict the out-of-core sweeps keep
+        across X groups — the first staging stores the diff encoding,
+        and every re-staging skips the pad + compare + extract host
+        passes, shipping only the cached (idx, vals) diffs.
         """
         n, width = matrix.shape
         if self.backend == "numpy":
@@ -913,26 +930,75 @@ class _BlockEngine:
             n_pad = (n_strips - 1) * self.ti + max(tile, self.ti)
             n_pad = max(n_pad, tile)
         l_pad = -(-max(width, 1) // 128) * 128
-        padded = np.zeros((n_pad, l_pad), dtype=np.uint8)
-        padded[:n, :width] = matrix
         import jax
         import jax.numpy as jnp
 
-        if diff_ref is not None and not self.sharded:
+        padded = None
+
+        def _padded() -> np.ndarray:
+            nonlocal padded
+            if padded is None:
+                padded = np.zeros((n_pad, l_pad), dtype=np.uint8)
+                padded[:n, :width] = matrix
+            return padded
+
+        if diff_ref is not None and not (
+            self.diff_up is not None
+            and self._diff_ref_src is diff_ref
+            and self.diff_up.l_pad == l_pad
+        ):
             from distance_tpu.ops.diffup import DiffUploader
 
             refp = np.zeros(l_pad, dtype=np.uint8)
             refp[:width] = diff_ref
-            self.diff_up = DiffUploader(refp)
-        if self.sharded:
+            # sharded engines diff-encode too: the scatter rebuild runs
+            # under pjit with a mesh-replicated output (the dense sharded
+            # upload's placement), so multi-chip runs ship (idx, code)
+            # diffs instead of the dense matrix — the same ~12x H2D cut
+            # the single-device path measured
+            self.diff_up = DiffUploader(refp, sharded=self.sharded)
+            self._diff_ref_src = diff_ref
+        if self.diff_up is not None:
+            # memo validity: same uploader (a stream retarget swaps it)
+            # and same padded shape
+            if (
+                h2d_memo is not None
+                and h2d_memo.get("up") is self.diff_up
+                and h2d_memo.get("n_pad") == n_pad
+            ):
+                enc = h2d_memo["enc"]
+            else:
+                enc = self.diff_up.encode(_padded(), n_real=n)
+                if h2d_memo is not None:
+                    h2d_memo.clear()
+                    h2d_memo.update(
+                        up=self.diff_up, n_pad=n_pad, enc=enc
+                    )
+            if enc is not None:
+                dev = self.diff_up.upload_encoded(enc, n_pad)
+            elif self.sharded:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                dev = jax.device_put(
+                    _padded(),
+                    NamedSharding(
+                        jax.sharding.Mesh(
+                            np.array(jax.devices()), ("dp",)
+                        ),
+                        P(None, None),
+                    ),
+                )
+            else:
+                dev = _chunked_h2d(_padded())
+        elif self.sharded:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             mesh = _device_mesh(self.tj)
-            dev = jax.device_put(padded, NamedSharding(mesh, P(None, None)))
-        elif self.diff_up is not None:
-            dev = self.diff_up.upload(padded)
+            dev = jax.device_put(
+                _padded(), NamedSharding(mesh, P(None, None))
+            )
         else:
-            dev = _chunked_h2d(padded)
+            dev = _chunked_h2d(_padded())
         # Reference row for rel packing: reuse the diff-upload reference
         # when present, else the per-column mode of a row sample.  Rel
         # residuals are width-independent (they accrue only on columns
@@ -1076,8 +1142,9 @@ class _BlockEngine:
     def diff_ref_for(self, source: np.ndarray) -> Optional[np.ndarray]:
         """Reference row for diff-encoded uploads of ``source`` (a row
         sample's per-column mode), or None when diff uploads don't apply
-        (numpy backend, sharded replication, or disabled by env)."""
-        if self.backend == "numpy" or self.sharded or not source.size:
+        (numpy backend, or disabled by env).  Sharded engines diff too:
+        the scatter rebuild runs under pjit with a replicated output."""
+        if self.backend == "numpy" or not source.size:
             return None
         if _os.environ.get("DISTANCE_TPU_NO_DIFF_UPLOAD"):
             return None
@@ -1142,7 +1209,7 @@ class _BlockEngine:
                 refp = np.zeros(l_pad, dtype=np.uint8)
                 refp[:] = sampled_mode_row(padded[: int(nv2)])
                 refp[self.width:] = 0  # keep pad columns zero
-                cand = DiffUploader(refp)
+                cand = DiffUploader(refp, sharded=self.sharded)
                 enc2 = cand.encode(padded, n_real=int(nv2))
                 if enc2 is not None:
                     cand.ref_dev()  # upload before publishing
@@ -2601,6 +2668,85 @@ HOST_BUF_BUDGET = int(
     _os.environ.get("DISTANCE_TPU_HOST_BUF_BUDGET", 4 << 30)
 )
 
+# Minimum rows per staged stream group: below this the per-group
+# dispatch/upload overhead dominates.  Module-level so tests can lower
+# it and make the HOST_BUF_BUDGET cap the binding constraint.
+STAGED_ROWS_FLOOR = 256
+
+
+class _StagedSide:
+    """Cross-group reuse of one host-resident matrix staged through HBM
+    in super-rows (out-of-core sweeps, staged stream loaded side).
+
+    The round-4 at-scale rectangle row spent 109.7 s of 128 s re-encoding
+    and re-uploading every file2 super-row once per X group with no
+    cross-group reuse.  Two levels fix that:
+
+    - host: each super-row's diff encoding memoizes across stagings
+      (prepare(h2d_memo=) skips the pad/compare/extract host passes and
+      ships only the cached (idx, vals) diffs on re-upload);
+    - device: the most recently staged super-row is NOT released at
+      group end.  Combined with the callers' serpentine sweep order
+      (ascending/descending on alternate X groups), the next group's
+      first super-row is a device hit — no upload, no feature rebuild —
+      within the same HBM footprint (one X slot + one Y slot).
+    """
+
+    def __init__(self, eng: "_BlockEngine", source: np.ndarray,
+                 row_tile: int, diff_ref, cache_g: bool = True) -> None:
+        self.eng = eng
+        self.source = source
+        self.row_tile = row_tile
+        self.diff_ref = diff_ref
+        self.cache_g = cache_g
+        self._memos: Dict[tuple, dict] = {}
+        self._memo_bytes = 0
+        self._dev = None
+        self._key = None
+        self._serp = False
+
+    def serpentine(self, spans: list) -> list:
+        """Alternate iteration direction on successive sweeps so the
+        last staged super-row of one sweep is the first of the next —
+        a device cache hit at every group boundary."""
+        self._serp = not self._serp
+        return list(spans) if self._serp else list(reversed(spans))
+
+    def get(self, q0: int, q1: int):
+        """The prepared device matrix for source[q0:q1] (device-cached
+        when it was the previous staging; host-encode-memoized always)."""
+        key = (q0, q1)
+        if self._key == key:
+            return self._dev
+        self.drop()
+        # host-RAM guard: stop admitting NEW encode memos past the
+        # budget (existing ones keep paying; overflow spans just
+        # re-encode, the round-4 behavior)
+        memo = self._memos.get(key)
+        if memo is None and self._memo_bytes < HOST_BUF_BUDGET:
+            memo = self._memos[key] = {}
+        had_enc = memo is not None and "enc" in memo
+        # prepare() reuses the engine's uploader when diff_ref is the
+        # same object (including a stream-retargeted one, whose memos
+        # revalidate per uploader), so passing it every time is free
+        self._dev = self.eng.prepare(
+            self.source[q0:q1], self.row_tile, row_tile=self.row_tile,
+            diff_ref=self.diff_ref, cache_g=self.cache_g,
+            h2d_memo=memo,
+        )
+        if memo is not None and not had_enc:
+            enc = memo.get("enc")
+            if enc is not None:
+                self._memo_bytes += enc[0].nbytes + enc[1].nbytes
+        self._key = key
+        return self._dev
+
+    def drop(self) -> None:
+        """Release the device-resident super-row (not the host memos)."""
+        if self._dev is not None:
+            self.eng.release(self._dev)
+            self._dev, self._key = None, None
+
 
 def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                           width: int, same_offset: int, backend: str) -> None:
@@ -2657,6 +2803,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
     emitter = _AsyncEmitter()
     pool = _ScratchPool()
     dref = eng.diff_ref_for(source)
+    yside = _StagedSide(eng, source, tj, dref)
 
     for g0 in range(row_lo, row_hi, group_rows):
         g1 = min(g0 + group_rows, row_hi, n)
@@ -2670,12 +2817,15 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
         bufs = np.zeros((len(plan.counters), g1 - g0, span), dtype=np.int32)
 
         q_start = (g0 // sr_rows) * sr_rows
-        for q0 in range(q_start, n, sr_rows):
-            q1 = min(q0 + sr_rows, n)
-            if q1 <= g0:
-                continue
-            dev_y = eng.prepare(source[q0:q1], tj, row_tile=tj,
-                                diff_ref=dref)
+        spans = [
+            (q0, min(q0 + sr_rows, n))
+            for q0 in range(q_start, n, sr_rows)
+            if min(q0 + sr_rows, n) > g0
+        ]
+        # serpentine: accumulation order into bufs is output-invariant,
+        # and the boundary super-row stays device-resident across groups
+        for q0, q1 in yside.serpentine(spans):
+            dev_y = yside.get(q0, q1)
             sr_items = []
             for i0_loc in range(0, g1 - g0, ti):
                 abs_i0 = g0 + i0_loc
@@ -2716,8 +2866,6 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
                     :, i0_loc : i0_loc + si,
                     dst0 : dst0 + strip.shape[2],
                 ] = strip
-            eng.release(dev_y)
-            dev_y = None
 
         # Emit the group's rows in canonical order.
         for i0_loc in range(0, g1 - g0, ti):
@@ -2747,6 +2895,7 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             )
         eng.release(dev_x)
         dev_x = None
+    yside.drop()
     emitter.finish()
 
 
@@ -2877,6 +3026,10 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
     emitter = _AsyncEmitter()
     pool = _ScratchPool()
     dref = eng.diff_ref_for(src1)
+    yside = _StagedSide(eng, src2, tj, dref)
+    all_spans = [
+        (q0, min(q0 + sr_rows, n2)) for q0 in range(0, n2, sr_rows)
+    ]
 
     for g0 in range(row_lo, row_hi, group_rows):
         g1 = min(g0 + group_rows, row_hi)
@@ -2887,10 +3040,8 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
                             cache_g=False, cache_f=True)
         bufs = np.zeros((len(plan.counters), g1 - g0, n2), dtype=np.int32)
 
-        for q0 in range(0, n2, sr_rows):
-            q1 = min(q0 + sr_rows, n2)
-            dev_y = eng.prepare(src2[q0:q1], tj, row_tile=tj,
-                                diff_ref=dref)
+        for q0, q1 in yside.serpentine(all_spans):
+            dev_y = yside.get(q0, q1)
             col_starts = list(range(0, q1 - q0, tj))
             sr_items = []
             for i0_loc in range(0, g1 - g0, ti):
@@ -2912,8 +3063,6 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
                 bufs[
                     :, i0_loc : i0_loc + si, q0 : q0 + strip.shape[2]
                 ] = strip
-            eng.release(dev_y)
-            dev_y = None
 
         # Emit the group's rows in canonical row-major order.
         for i0_loc in range(0, g1 - g0, ti):
@@ -2943,6 +3092,7 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
             )
         eng.release(dev_x)
         dev_x = None
+    yside.drop()
     emitter.finish()
 
 
@@ -3014,7 +3164,8 @@ def _run_stream(setup: Setup) -> None:
             # of GB of host RAM across the in-flight groups
             bytes_per_col = 4 * len(get_plan(setup.measure).counters) * n1
             cap_rows = max(
-                256, HOST_BUF_BUDGET // max(1, bytes_per_col) // 2 * 2
+                STAGED_ROWS_FLOOR,
+                HOST_BUF_BUDGET // max(1, bytes_per_col) // 2 * 2,
             )
             grows = min(grows, cap_rows)
         grp_bytes = 4 * len(get_plan(setup.measure).counters) * n1 * grows
@@ -3048,14 +3199,11 @@ def _run_stream(setup: Setup) -> None:
             1 + eng.plan.total_channels if eng.feat_cache_on else 1
         )
         sr_rows = max(ti, (HBM_BUDGET_BYTES // 3 // row_bytes) // ti * ti)
-        m1 = None
-    else:
-        # timed: this H2D of the whole loaded matrix is the one stream
-        # phase that can silently eat minutes on a degraded relay
-        with phase_timer("stream-prepare-upload"):
-            m1 = eng.prepare(
-                mat_dev_loaded, ti, diff_ref=diff_ref, cache_g=False
-            )
+        # the loaded side persists across dispatch groups: super-row
+        # encodings memoize, the boundary super-row stays on device
+        # (the stream fused fn takes raw codes, so no g-feature cache)
+        lside = _StagedSide(eng, mat_dev_loaded, ti, diff_ref,
+                            cache_g=False)
     plan = eng.plan
 
     pending: List[tuple] = []
@@ -3075,6 +3223,26 @@ def _run_stream(setup: Setup) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     dispatcher = ThreadPoolExecutor(1)
+
+    # Overlap the one-time loaded-matrix prepare H2D with stream parse:
+    # queue it as the dispatcher thread's FIRST task, so the reader
+    # thread and first-group assembly run concurrently with the upload
+    # (it was 403.8 s of a 996 s 1M-seq wall on a degraded relay while
+    # parse waited to even start — the two largest non-fetch phases,
+    # serialized for no reason).  Group dispatches queue behind it on
+    # the same single-thread executor, so every consumer of the handle
+    # sees a completed upload; the future's .result() is the ordering
+    # fence and re-raises any prepare error on the consuming thread.
+    if staged:
+        prep_fut = None
+    else:
+        def _do_prepare():
+            with phase_timer("stream-prepare-upload"):
+                return eng.prepare(
+                    mat_dev_loaded, ti, diff_ref=diff_ref, cache_g=False
+                )
+
+        prep_fut = dispatcher.submit(_do_prepare)
 
     def flush_one() -> None:
         (g_ord, local_ord, ids2, bcounts, offs, fut, bn, redispatch,
@@ -3207,9 +3375,11 @@ def _run_stream(setup: Setup) -> None:
             # batches — one pass instead of concatenate + pad (two full
             # copies of a ~250 MB group and an extra transient).
             rows_pad = -(-bn // grows) * grows
-            l_dev = width_dev if backend == "numpy" else (
-                l_pad_s if staged else m1.shape[1]
-            )
+            # device matrices pad the site axis to a lane multiple of
+            # 128 (eng.prepare); computing it here instead of reading
+            # m1.shape keeps group assembly independent of the prepare
+            # upload still in flight on the dispatcher thread
+            l_dev = width_dev if backend == "numpy" else l_pad_s
             # Recycle the previous group's buffer (returned to pad_pool
             # once its fetch completed): rows [0:bn) are overwritten by
             # the fill below, rows [bn:filled) carry stale data and are
@@ -3248,6 +3418,7 @@ def _run_stream(setup: Setup) -> None:
 
         if backend == "numpy":
             def dispatch(padded=padded, rows_pad=rows_pad, mode=None):
+                m1 = prep_fut.result()
                 return np.concatenate([
                     eng.block(m1, padded, i0, 0, ti, rows_pad, mode)
                     for i0 in range(0, n1, ti)
@@ -3256,12 +3427,13 @@ def _run_stream(setup: Setup) -> None:
             def dispatch(padded=padded, rows_pad=rows_pad, mode=None,
                          bn=bn):
                 return _dispatch_stream_staged(
-                    eng, mat_dev_loaded, diff_ref, padded, rows_pad,
+                    eng, lside, padded, rows_pad,
                     mode, bn, n1, ti, sr_rows,
                 )
         else:
             def dispatch(padded=padded, rows_pad=rows_pad, mode=None,
                          bn=bn):
+                m1 = prep_fut.result()
                 return eng.dispatch_stream(m1, padded, rows_pad, mode,
                                            nv=(n1, bn))
 
@@ -3326,8 +3498,8 @@ class _StagedStrip:
         self.arr = arr
 
 
-def _dispatch_stream_staged(eng: _BlockEngine, loaded: np.ndarray,
-                            diff_ref, padded: np.ndarray, rows_pad: int,
+def _dispatch_stream_staged(eng: _BlockEngine, lside: _StagedSide,
+                            padded: np.ndarray, rows_pad: int,
                             mode, bn: int, n1: int, ti: int,
                             sr_rows: int) -> _StagedStrip:
     """Stream-group dispatch with a host-resident loaded side.
@@ -3339,9 +3511,11 @@ def _dispatch_stream_staged(eng: _BlockEngine, loaded: np.ndarray,
     assemble the group's full (C, n1, bn) counters on the host.  Runs
     synchronously on the dispatcher thread (overlapping parse and
     emission on the main thread); pack-mode escalation on lane
-    saturation happens per super-row.  Costs one loaded-matrix
-    re-upload per group — groups are sized up under staging so compute
-    amortizes the wire.
+    saturation happens per super-row.  ``lside`` persists across groups:
+    each super-row's diff encoding memoizes on first staging, and with
+    the serpentine order the boundary super-row stays device-resident —
+    consecutive groups re-upload one fewer super-row and never repeat
+    the host encode passes.
     """
     plan = eng.plan
     buf = np.empty((len(plan.counters), n1, bn), dtype=np.int32)
@@ -3349,17 +3523,11 @@ def _dispatch_stream_staged(eng: _BlockEngine, loaded: np.ndarray,
     # dispatch, reused by every later super-row — the encode alone is a
     # host pass over the full group)
     h2d_cache: dict = {}
-    for q0 in range(0, n1, sr_rows):
-        q1 = min(q0 + sr_rows, n1)
-        # diff_ref only on the first super-row: prepare() rebuilds the
-        # DiffUploader whenever it is passed, and the uploader persists
-        # on the engine — rebuilding it per super-row would both waste a
-        # ref upload and invalidate the group's cached encoding
-        m1q = eng.prepare(
-            loaded[q0:q1], ti, row_tile=ti,
-            diff_ref=diff_ref if eng.diff_up is None else None,
-            cache_g=False,
-        )
+    spans = [
+        (q0, min(q0 + sr_rows, n1)) for q0 in range(0, n1, sr_rows)
+    ]
+    for q0, q1 in lside.serpentine(spans):
+        m1q = lside.get(q0, q1)
 
         def redisp(m, m1q=m1q, q0=q0, q1=q1):
             return eng.dispatch_stream(m1q, padded, rows_pad, m,
@@ -3370,7 +3538,6 @@ def _dispatch_stream_staged(eng: _BlockEngine, loaded: np.ndarray,
             eng, _start_stream_fetch(redisp(mode)), q1 - q0, bn, redisp
         )
         buf[:, q0:q1, :] = part
-        eng.release(m1q)
     return _StagedStrip(buf)
 
 

@@ -467,27 +467,19 @@ def _stream_fasta_batches(
         raise DistanceError(_err_empty_fasta())
 
 
-def _stream_records_native(
-    handle: BinaryIO, width: int, want_tallies: bool = False
-) -> Iterator[tuple]:
-    """Chunked C parse+encode of a streamed FASTA.
+# Concurrent native parse workers for the streamed path.  The C pass
+# releases the GIL, so pieces parse in true parallel; records still
+# yield strictly in stream order.  1 = serial (the old behavior).
+def _stream_parse_workers() -> int:
+    env = _os.environ.get("DISTANCE_TPU_STREAM_PARSE_WORKERS")
+    if env:
+        return max(1, int(env))
+    return max(1, min(4, (_os.cpu_count() or 1) - 1))
 
-    Reads ~STREAM_READ_BYTES at a time, cuts at the last record
-    boundary, and parses each piece with dt_parse_fasta_fill (GIL
-    released).  Any parse error re-runs the failing piece through the
-    Python per-record path so error ORDER matches the reference exactly
-    (streamed records check width before encoding, fastaio.rs:246-254 —
-    the C parser detects invalid bytes first).  With ``want_tallies``
-    each yielded tuple carries the record's raw upper-case-only
-    (A, T, G, C) byte counts (the streamed tn93 precompute,
-    fastaio.rs:124-142) tallied inside the same C pass."""
-    import ctypes
 
-    from distance_tpu._native import get_lib
-
-    lib = get_lib()
-    p_u8 = ctypes.POINTER(ctypes.c_uint8)
-    p_i64 = ctypes.POINTER(ctypes.c_int64)
+def _read_pieces(handle: BinaryIO) -> Iterator[bytes]:
+    """~STREAM_READ_BYTES pieces of the stream, each cut at the last
+    record boundary so every piece holds whole records."""
     carry = b""
     eof = False
     while not eof:
@@ -505,55 +497,121 @@ def _stream_records_native(
                 carry = data[cut + 1:]
                 data = data[:cut + 1]
                 break
-        if not data:
-            continue
-        max_records = data.count(b">")
-        if max_records == 0:
-            # junk/whitespace only: exact semantics from the Python path
-            yield from _stream_records_python_piece(
-                data, width, want_tallies
-            )
-            continue
-        arr = np.frombuffer(data, dtype=np.uint8)
-        matrix = np.zeros((max_records, width), dtype=np.uint8)
-        ids_cap = len(data) + 16
-        ids_buf = ctypes.create_string_buffer(ids_cap)
-        descs_buf = ctypes.create_string_buffer(ids_cap)
-        id_offs = np.zeros(max_records + 1, dtype=np.int64)
-        desc_offs = np.zeros(max_records + 1, dtype=np.int64)
-        n_out = np.zeros(1, dtype=np.int64)
-        err_a = np.zeros(1, dtype=np.int64)
-        err_b = np.zeros(1, dtype=np.int64)
-        tallies = (
-            np.zeros((max_records, 4), dtype=np.int64)
-            if want_tallies else None
+        if data:
+            yield data
+
+
+def _parse_piece(data: bytes, width: int, want_tallies: bool) -> tuple:
+    """One dt_parse_fasta_fill pass over a piece (GIL released; safe to
+    run concurrently — the C pass writes only its own out-buffers).
+    Returns ("ok", n, matrix, id_offs, id_blob, tallies), or
+    ("py", data) when the piece needs the exact-semantics Python replay
+    (no records, or any parse error — rc != 0 re-raises there with the
+    reference's error text and ordering)."""
+    import ctypes
+
+    from distance_tpu._native import get_lib
+
+    lib = get_lib()
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    max_records = data.count(b">")
+    if max_records == 0:
+        return ("py", data)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    matrix = np.zeros((max_records, width), dtype=np.uint8)
+    ids_cap = len(data) + 16
+    ids_buf = ctypes.create_string_buffer(ids_cap)
+    descs_buf = ctypes.create_string_buffer(ids_cap)
+    id_offs = np.zeros(max_records + 1, dtype=np.int64)
+    desc_offs = np.zeros(max_records + 1, dtype=np.int64)
+    n_out = np.zeros(1, dtype=np.int64)
+    err_a = np.zeros(1, dtype=np.int64)
+    err_b = np.zeros(1, dtype=np.int64)
+    tallies = (
+        np.zeros((max_records, 4), dtype=np.int64)
+        if want_tallies else None
+    )
+    rc = lib.dt_parse_fasta_fill(
+        arr.ctypes.data_as(p_u8), len(data), width, max_records,
+        ENCODING.ctypes.data_as(p_u8),
+        matrix.ctypes.data_as(p_u8),
+        ids_buf, ids_cap, id_offs.ctypes.data_as(p_i64),
+        descs_buf, ids_cap, desc_offs.ctypes.data_as(p_i64),
+        n_out.ctypes.data_as(p_i64),
+        err_a.ctypes.data_as(p_i64), err_b.ctypes.data_as(p_i64),
+        tallies.ctypes.data_as(p_i64) if tallies is not None else None,
+    )
+    if rc != 0:
+        return ("py", data)
+    n = int(n_out[0])
+    id_blob = ctypes.string_at(ids_buf, int(id_offs[n]))
+    return ("ok", n, matrix, id_offs, id_blob, tallies)
+
+
+def _emit_piece(parsed: tuple, width: int,
+                want_tallies: bool) -> Iterator[tuple]:
+    """Yield a parsed piece's records (or replay it in Python — exact
+    error text/order for parse failures, fastaio.rs:246-254)."""
+    if parsed[0] == "py":
+        yield from _stream_records_python_piece(
+            parsed[1], width, want_tallies
         )
-        rc = lib.dt_parse_fasta_fill(
-            arr.ctypes.data_as(p_u8), len(data), width, max_records,
-            ENCODING.ctypes.data_as(p_u8),
-            matrix.ctypes.data_as(p_u8),
-            ids_buf, ids_cap, id_offs.ctypes.data_as(p_i64),
-            descs_buf, ids_cap, desc_offs.ctypes.data_as(p_i64),
-            n_out.ctypes.data_as(p_i64),
-            err_a.ctypes.data_as(p_i64), err_b.ctypes.data_as(p_i64),
-            tallies.ctypes.data_as(p_i64) if tallies is not None else None,
+        return
+    _tag, n, matrix, id_offs, id_blob, tallies = parsed
+    for k in range(n):
+        rid = id_blob[id_offs[k]:id_offs[k + 1]].decode(
+            "utf-8", errors="replace"
         )
-        if rc != 0:
-            # rare/terminal: replay this piece in Python for exact
-            # error text and ordering (it re-raises in every rc!=0 case)
-            yield from _stream_records_python_piece(
-                data, width, want_tallies
+        yield rid, matrix[k], (
+            tallies[k] if tallies is not None else None
+        )
+
+
+def _stream_records_native(
+    handle: BinaryIO, width: int, want_tallies: bool = False
+) -> Iterator[tuple]:
+    """Chunked C parse+encode of a streamed FASTA.
+
+    Reads ~STREAM_READ_BYTES pieces cut at record boundaries and parses
+    them with dt_parse_fasta_fill (GIL released) on a small thread pool
+    — pieces parse in parallel while records yield strictly in stream
+    order, so output bytes and mid-stream error semantics are identical
+    to the serial path (a failing piece replays through the Python
+    per-record path AT ITS ORDERED POSITION, after every earlier
+    record has been yielded).  The 1M-seq design-point run spent
+    324.5 s in stream-parse-wait on the serial path (BASELINE.md);
+    the reference's analog is its dedicated reader thread
+    (/root/reference/src/lib.rs:288-306)."""
+    workers = _stream_parse_workers()
+    if workers <= 1:
+        for data in _read_pieces(handle):
+            yield from _emit_piece(
+                _parse_piece(data, width, want_tallies), width,
+                want_tallies,
             )
-            continue
-        n = int(n_out[0])
-        id_blob = ctypes.string_at(ids_buf, int(id_offs[n]))
-        for k in range(n):
-            rid = id_blob[id_offs[k]:id_offs[k + 1]].decode(
-                "utf-8", errors="replace"
+        return
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    pend = collections.deque()
+    ex = ThreadPoolExecutor(workers)
+    try:
+        for data in _read_pieces(handle):
+            pend.append(
+                ex.submit(_parse_piece, data, width, want_tallies)
             )
-            yield rid, matrix[k], (
-                tallies[k] if tallies is not None else None
+            # bounded lookahead: ~(workers + 2) pieces in flight
+            while len(pend) > workers + 2:
+                yield from _emit_piece(
+                    pend.popleft().result(), width, want_tallies
+                )
+        while pend:
+            yield from _emit_piece(
+                pend.popleft().result(), width, want_tallies
             )
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def _stream_records_python_piece(

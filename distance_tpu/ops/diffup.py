@@ -60,12 +60,17 @@ def _round_cap(n: int) -> int:
     return cap
 
 
+def _all_device_mesh():
+    import jax
+
+    return jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+
+
 @functools.lru_cache(maxsize=None)
-def _build_fn(rows_pad: int, l_pad: int, cap: int):
+def _build_fn(rows_pad: int, l_pad: int, cap: int, sharded: bool = False):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
     def build(ref, idx, vals):
         base = jnp.broadcast_to(ref, (rows_pad, l_pad)).reshape(-1)
         # padding entries carry strictly-increasing out-of-bounds indices
@@ -77,7 +82,18 @@ def _build_fn(rows_pad: int, l_pad: int, cap: int):
         )
         return out.reshape(rows_pad, l_pad)
 
-    return build
+    if sharded:
+        # GSPMD engines consume the rebuilt matrix REPLICATED (same
+        # placement the dense sharded upload used); the scatter runs
+        # under pjit and only (idx, vals, ref) cross the host link —
+        # the multi-chip half of the stream-mode wire win
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.jit(
+            build,
+            out_shardings=NamedSharding(_all_device_mesh(), P(None, None)),
+        )
+    return jax.jit(build)
 
 
 def sampled_mode_row(matrix: np.ndarray, cap: int = 4096) -> np.ndarray:
@@ -108,11 +124,16 @@ def mode_row(matrix: np.ndarray) -> np.ndarray:
 
 
 class DiffUploader:
-    """Upload padded row batches against a fixed padded reference row."""
+    """Upload padded row batches against a fixed padded reference row.
 
-    def __init__(self, ref_padded: np.ndarray):
+    ``sharded``: produce mesh-replicated device arrays for GSPMD
+    engines (the dense sharded upload's placement) instead of
+    single-device ones."""
+
+    def __init__(self, ref_padded: np.ndarray, sharded: bool = False):
         self.l_pad = int(ref_padded.shape[0])
         self.ref = np.ascontiguousarray(ref_padded, dtype=np.uint8)
+        self.sharded = bool(sharded)
         self._ref_dev = None
         disable = os.environ.get("DISTANCE_TPU_NO_DIFF_UPLOAD")
         force = os.environ.get("DISTANCE_TPU_DIFF_UPLOAD") == "force"
@@ -120,10 +141,18 @@ class DiffUploader:
 
     def ref_dev(self):
         """The reference row as a device array (uploaded once)."""
+        import jax
         import jax.numpy as jnp
 
         if self._ref_dev is None:
-            self._ref_dev = jnp.asarray(self.ref)
+            if self.sharded:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._ref_dev = jax.device_put(
+                    self.ref, NamedSharding(_all_device_mesh(), P(None))
+                )
+            else:
+                self._ref_dev = jnp.asarray(self.ref)
         return self._ref_dev
 
     def encode(self, padded: np.ndarray, n_real: Optional[int] = None):
@@ -262,10 +291,25 @@ class DiffUploader:
 
         enc = self.encode(padded)
         if enc is None:
+            if self.sharded:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                return jax.device_put(
+                    padded,
+                    NamedSharding(_all_device_mesh(), P(None, None)),
+                )
             return _chunked_h2d(padded)
+        return self.upload_encoded(enc, padded.shape[0])
+
+    def upload_encoded(self, enc, rows_pad: int):
+        """Device rebuild from an already-computed (idx, vals) encoding —
+        the fast path for re-staged super-rows (out-of-core sweeps),
+        where the host pad/compare/extract passes were memoized away and
+        only the scatter build + the small diff H2D remain."""
         idx, v = enc
-        rows_pad, l_pad = padded.shape
-        build = _build_fn(rows_pad, l_pad, int(idx.shape[0]))
+        build = _build_fn(rows_pad, self.l_pad, int(idx.shape[0]),
+                          self.sharded)
         import jax.numpy as jnp
 
         return build(self.ref_dev(), jnp.asarray(idx), jnp.asarray(v))

@@ -4,9 +4,32 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from distance_tpu.utils.jitcache import enable_jit_cache
 
 FASTA = b">a\nACGTACGTACGTACGT\n>b\nACGTACGTACGTTTTT\n>c\nAAGTACGTACGTACGT\n"
+
+
+@pytest.fixture(autouse=True)
+def _restore_jax_cache_config():
+    """enable_jit_cache mutates process-wide jax config; restore it so
+    tests running after this module don't inherit a persistent-cache
+    config pointed at a deleted pytest tmp dir (the very configuration
+    jitcache's docstring warns risks SIGILL on XLA:CPU reload)."""
+    import jax
+
+    keys = (
+        "jax_compilation_cache_dir",
+        "jax_persistent_cache_min_compile_time_secs",
+        "jax_persistent_cache_min_entry_size_bytes",
+    )
+    saved = {k: getattr(jax.config, k) for k in keys}
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            jax.config.update(k, v)
 
 
 def test_enable_returns_dir_and_sets_config(tmp_path, monkeypatch):

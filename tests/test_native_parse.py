@@ -84,3 +84,47 @@ def test_native_used_for_large_files(monkeypatch, rng):
     aln = fio.load_fasta(io.BytesIO(data))
     assert called.get("yes")
     assert aln.n == 5
+
+
+@needs_native
+def test_parallel_stream_parse_order_and_parity(rng, monkeypatch):
+    """Pieces parse concurrently but records must yield in exact stream
+    order, with tallies, across many tiny pieces."""
+    from tests.conftest import make_fasta, random_seqs
+
+    recs = random_seqs(rng, 120, 64, amb_frac=0.2)
+    data = make_fasta(recs)
+    monkeypatch.setattr(fio, "STREAM_READ_BYTES", 128)  # many pieces
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_PARSE_WORKERS", "4")
+    par = list(fio._stream_records_native(io.BytesIO(data), 64, True))
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_PARSE_WORKERS", "1")
+    ser = list(fio._stream_records_native(io.BytesIO(data), 64, True))
+    assert [r[0] for r in par] == [r[0] for r in ser] == [
+        r for r, _s in recs
+    ]
+    for (ia, ma, ta), (ib, mb, tb) in zip(par, ser):
+        assert np.array_equal(ma, mb)
+        assert np.array_equal(ta, tb)
+
+
+@needs_native
+def test_parallel_stream_parse_midstream_error_order(rng, monkeypatch):
+    """A bad record in a late piece must surface only after every
+    earlier record has been yielded (reference semantics: batches sent
+    before the reader failed are all emitted, lib.rs:322-341)."""
+    from tests.conftest import make_fasta, random_seqs
+
+    good = random_seqs(rng, 40, 64, amb_frac=0.2)
+    data = make_fasta(good) + b">bad\n" + b"Z" * 64 + b"\n"
+    monkeypatch.setattr(fio, "STREAM_READ_BYTES", 128)
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_PARSE_WORKERS", "4")
+    seen = []
+    with pytest.raises(DistanceError) as e:
+        for rid, _m, _t in fio._stream_records_native(
+            io.BytesIO(data), 64, False
+        ):
+            seen.append(rid)
+    assert str(e.value) == (
+        "Invalid nucleotide character in record 'bad': 'Z'"
+    )
+    assert seen == [r for r, _s in good]

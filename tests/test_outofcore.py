@@ -371,15 +371,18 @@ def test_staged_stream_group_rows_bounded_by_host_budget(rng, monkeypatch):
     # raw has 2 counters: bytes_per_col = 4 * 2 * n1 = 264 at n1=33;
     # budget 4000 -> cap_rows = floor(4000/264) rounded down to even = 14
     monkeypatch.setattr(engine, "HOST_BUF_BUDGET", 4000)
+    # the production 256-row floor would swallow the 14-row budget cap
+    # (and exceed the 40 streamed rows entirely, making any assertion
+    # vacuous); drop it so HOST_BUF_BUDGET is the binding constraint
+    monkeypatch.setattr(engine, "STAGED_ROWS_FLOOR", 2)
     monkeypatch.delenv("DISTANCE_TPU_STREAM_GROUP", raising=False)
     seen = []
     orig = engine._dispatch_stream_staged
 
-    def spy(eng, loaded, diff_ref, padded, rows_pad, mode, bn, n1, ti,
-            sr_rows):
+    def spy(eng, lside, padded, rows_pad, mode, bn, n1, ti, sr_rows):
         seen.append(bn)
-        return orig(eng, loaded, diff_ref, padded, rows_pad, mode, bn,
-                    n1, ti, sr_rows)
+        return orig(eng, lside, padded, rows_pad, mode, bn, n1, ti,
+                    sr_rows)
 
     monkeypatch.setattr(engine, "_dispatch_stream_staged", spy)
     f1 = make_fasta(random_seqs(rng, 33, 90, amb_frac=0.2))
@@ -389,5 +392,64 @@ def test_staged_stream_group_rows_bounded_by_host_budget(rng, monkeypatch):
     assert got == want
     assert seen, "staged path never engaged"
     n1 = 33
-    cap_rows = max(256, 4000 // (4 * 2 * n1) // 2 * 2)
+    cap_rows = 4000 // (4 * 2 * n1) // 2 * 2  # = 14 < the 40 streamed rows
+    assert cap_rows == 14
     assert all(bn <= cap_rows for bn in seen), (seen, cap_rows)
+
+
+def test_staged_side_cross_group_reuse(rng, monkeypatch):
+    """The round-5 item: staged super-rows must reuse work across X
+    groups — the host diff encoding computes once per super-row ever,
+    and the serpentine boundary super-row is a device hit (no prepare
+    at all)."""
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", 2000)
+    import distance_tpu.ops.diffup as diffup
+
+    gets = []
+    orig_get = engine._StagedSide.get
+
+    def spy_get(self, q0, q1):
+        gets.append((q0, q1, self._key == (q0, q1)))
+        return orig_get(self, q0, q1)
+
+    # per-prepare bookkeeping: was a memo provided, and did it already
+    # hold an encoding (=> the host encode passes must be skipped)?
+    prepares = []
+    orig_prepare = engine._BlockEngine.prepare
+
+    def spy_prepare(self, matrix, *a, **kw):
+        memo = kw.get("h2d_memo")
+        prepares.append((memo is not None, memo is not None and "enc" in memo))
+        return orig_prepare(self, matrix, *a, **kw)
+
+    encodes = []
+    orig_enc = diffup.DiffUploader.encode
+
+    def spy_enc(self, padded, n_real=None):
+        encodes.append(padded.shape)
+        return orig_enc(self, padded, n_real=n_real)
+
+    monkeypatch.setattr(engine._StagedSide, "get", spy_get)
+    monkeypatch.setattr(engine._BlockEngine, "prepare", spy_prepare)
+    monkeypatch.setattr(diffup.DiffUploader, "encode", spy_enc)
+    # force the encoding to always win so the memo path is the one
+    # under test
+    monkeypatch.setenv("DISTANCE_TPU_DIFF_UPLOAD", "force")
+    fasta = make_fasta(random_seqs(rng, 40, 90, amb_frac=0.2))
+    got, _ = run_engine("raw", fasta, backend="xla", tile_i=8, tile_j=8)
+    assert got == expected_square("raw", fasta)
+    assert len(gets) > len(set(g[:2] for g in gets)), (
+        "fixture never re-staged a super-row", gets,
+    )
+    assert any(hit for *_s, hit in gets), (
+        "serpentine boundary super-row was never a device hit", gets,
+    )
+    # every re-staging that missed the device cache must still skip the
+    # host encode: y-side encodes (prepares given a memo WITHOUT a
+    # cached encoding) == distinct spans, and total encodes == that
+    # plus the memo-less X-group prepares
+    distinct = len(set(g[:2] for g in gets))
+    y_first = sum(1 for has_memo, had in prepares if has_memo and not had)
+    x_prepares = sum(1 for has_memo, _h in prepares if not has_memo)
+    assert y_first == distinct, (prepares, gets)
+    assert len(encodes) == distinct + x_prepares, (encodes, prepares)
