@@ -1029,11 +1029,30 @@ class _BlockEngine:
         # once so block dispatches contract cached slices instead of
         # rematerializing the whole matrix's features every strip
         # (measured +17-37% block rate at sweep tiles; the column side
-        # dominates the per-block feature cost at tj > ti).
-        if (
+        # dominates the per-block feature cost at tj > ti).  Engagement
+        # respects BOTH budgets: FEATCACHE_BUDGET caps the cache tensor
+        # itself, and — for FULL-matrix prepares (row_tile is None) —
+        # cache + codes must also fit the HBM sequence-data budget.
+        # Without the second check, a 14-channel cache that squeaks
+        # under the 8 GB featcache default can OOM a 16 GB chip once
+        # codes + builder temporaries land on top (observed at
+        # 20000 x 29904, measure n: 8.59 GB cache -> ResourceExhausted).
+        # Staged prepares (row_tile set) are exempt: the blocked sweeps
+        # size their super-rows to ~budget/3 with (1 + channels)-row
+        # accounting already, and their tile-size floor must stage (and
+        # may cache) at least one tile regardless of a forced budget.
+        cache_need = self.plan.total_channels * n_pad * l_pad
+        mat_bytes = n_pad * l_pad
+        hbm_ok = (
+            row_tile is not None
+            or cache_need + mat_bytes <= HBM_BUDGET_BYTES
+        )
+        g_engaged = (
             self.feat_cache_on and cache_g
-            and self.plan.total_channels * n_pad * l_pad <= FEATCACHE_BUDGET
-        ):
+            and cache_need <= FEATCACHE_BUDGET
+            and hbm_ok
+        )
+        if g_engaged:
             if self.sharded:
                 gfeat = _jit_feat_builder_blocked(self.measure, self.tj)(dev)
             else:
@@ -1041,8 +1060,12 @@ class _BlockEngine:
             self._gcache[id(dev)] = (dev, gfeat)
         if (
             self.feat_cache_on and cache_f
-            and self.plan.total_channels * n_pad * l_pad
-            <= FEATCACHE_BUDGET // 2
+            and cache_need <= FEATCACHE_BUDGET // 2
+            and (
+                row_tile is not None
+                or cache_need * (2 if g_engaged else 1) + mat_bytes
+                <= HBM_BUDGET_BYTES
+            )
         ):
             # f-side cache: the out-of-core sweep re-dispatches the same
             # X strip against every Y super-row, so per-strip f-feature
@@ -2577,6 +2600,29 @@ def _split_strips(weights: List[int], shard: Optional[Tuple[int, int]]):
     return bounds[k], bounds[k + 1]
 
 
+def _prepared_footprint(n: int, width: int, ti: int, tj: int,
+                        measure: str, backend: str,
+                        cache_g: bool = True) -> int:
+    """Device bytes an in-core ``prepare`` of an (n, width) matrix will
+    hold resident: padded codes plus the g-side feature cache IF the
+    engagement predicates in :meth:`_BlockEngine.prepare` will fire.
+    The in-core/out-of-core gates compare THIS (not raw source bytes)
+    against the HBM budget — raw bytes under-count by up to
+    (1 + total_channels)x when the cache engages."""
+    if backend == "numpy":
+        return 0
+    tile = max(ti, tj)
+    n_strips = max(1, -(-n // ti))
+    n_pad = max((n_strips - 1) * ti + max(tile, ti), tile)
+    l_pad = -(-max(width, 1) // 128) * 128
+    mat = n_pad * l_pad
+    if cache_g and backend == "xla" and FEATCACHE_BUDGET > 0:
+        need = get_plan(measure).total_channels * n_pad * l_pad
+        if need <= FEATCACHE_BUDGET and need + mat <= HBM_BUDGET_BYTES:
+            mat += need
+    return mat
+
+
 def _sweep_square(setup: Setup, aln: Alignment) -> None:
     n, width = aln.n, aln.width
     if setup.shard is None or setup.shard[0] == 0:
@@ -2589,18 +2635,17 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     if pruned is not None:
         (source,), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, 0.5 * n * n * max(width, 1))
-    if (
-        backend != "numpy"
-        and source.size > HBM_BUDGET_BYTES
-    ):
+    ti, tj = _choose_tiles(n, n, setup, backend)
+    footprint = _prepared_footprint(n, width, ti, tj, setup.measure, backend)
+    if backend != "numpy" and footprint > HBM_BUDGET_BYTES:
         print(
-            f"[distance-tpu] out-of-core sweep: {source.size / 1e9:.2f} GB"
-            f" matrix > {HBM_BUDGET_BYTES / 1e9:.2f} GB HBM budget",
+            f"[distance-tpu] out-of-core sweep: {footprint / 1e9:.2f} GB"
+            f" prepared matrix > {HBM_BUDGET_BYTES / 1e9:.2f} GB HBM"
+            " budget",
             file=sys.stderr,
         )
         _sweep_square_blocked(setup, aln, source, width, same_offset, backend)
         return
-    ti, tj = _choose_tiles(n, n, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     with phase_timer("prepare-upload"):
         mat = eng.prepare(
@@ -2910,13 +2955,18 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     if pruned is not None:
         (src1, src2), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, float(n1) * n2 * max(width, 1))
-    if (
-        backend != "numpy"
-        and src1.size + src2.size > HBM_BUDGET_BYTES
-    ):
+    ti, tj = _choose_tiles(n1, n2, setup, backend)
+    # file1 strips are prepared with cache_g=False (the f side), file2
+    # with the g-feature cache when it engages — account for both
+    footprint = (
+        _prepared_footprint(n1, width, ti, tj, setup.measure, backend,
+                            cache_g=False)
+        + _prepared_footprint(n2, width, tj, tj, setup.measure, backend)
+    )
+    if backend != "numpy" and footprint > HBM_BUDGET_BYTES:
         print(
             f"[distance-tpu] out-of-core rectangle sweep:"
-            f" {(src1.size + src2.size) / 1e9:.2f} GB matrices >"
+            f" {footprint / 1e9:.2f} GB prepared matrices >"
             f" {HBM_BUDGET_BYTES / 1e9:.2f} GB HBM budget",
             file=sys.stderr,
         )
@@ -2924,7 +2974,6 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
             setup, aln1, aln2, src1, src2, width, same_offset, backend
         )
         return
-    ti, tj = _choose_tiles(n1, n2, setup, backend)
     eng = _BlockEngine(setup.measure, backend, ti, tj, width)
     dref = eng.diff_ref_for(src1)
     with phase_timer("prepare-upload"):

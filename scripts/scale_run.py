@@ -13,7 +13,10 @@ and deleted at the end.  Progress + phase logs go to stderr.
 
 Env knobs: SCALE_MEASURE (default n_high), SCALE_SKIP_KILL (skip the
 kill+resume phase for a clean completion-to-completion measurement),
-SCALE_KILL_AFTER_S, SCALE_DIR.
+SCALE_KILL_AFTER_S, SCALE_DIR, SCALE_MUT_WINDOW (confine variation to
+the first K columns so invariant-column pruning engages — at >=20k
+seqs, genome-wide random mutation leaves no column invariant, which is
+unrealistic: most of a real SARS-CoV-2 alignment is conserved).
 """
 
 import os
@@ -32,6 +35,10 @@ def write_fasta(path: str, n: int, width: int) -> np.ndarray:
     from distance_tpu.encoding import CODE_TO_CHAR
 
     mat = make_alignment(n, width)
+    win = int(os.environ.get("SCALE_MUT_WINDOW", "0"))
+    if win:
+        # columns past the window revert to a shared (invariant) value
+        mat[:, win:] = mat[0, win:]
     table = np.zeros(256, dtype=np.uint8)
     for code, ch in CODE_TO_CHAR.items():
         table[code] = ord(ch)

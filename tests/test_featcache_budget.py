@@ -1,0 +1,108 @@
+"""Feature-cache engagement must respect the HBM budget, not just
+FEATCACHE_BUDGET.
+
+Regression for a real-chip OOM (2026-08-20): at 20000 x 29904, measure
+``n`` (14 channels), the g-cache tensor was 8.587 GB — just under the
+8.589 GB FEATCACHE_BUDGET default — so it engaged, and cache + codes +
+builder temporaries exhausted the 16 GB chip
+(``jax.errors.JaxRuntimeError: RESOURCE_EXHAUSTED`` at
+``engine.prepare``).  Engagement now requires
+``cache + codes <= HBM_BUDGET_BYTES`` as well, and the in-core gates
+compare the PREPARED footprint (padded codes + engaged cache) against
+the budget instead of raw source bytes.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import distance_tpu.engine as engine
+from distance_tpu.encoding import ALL_CODES
+from distance_tpu.fastaio import load_fastas
+from distance_tpu.writer import TsvWriter
+
+
+def _mat(n=32, width=256, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.choice(ALL_CODES, size=(n, width)).astype(np.uint8)
+
+
+def _footprints(n, width, measure, ti):
+    """(mat_bytes, cache_bytes) as prepare() computes them."""
+    from distance_tpu.ops.features import get_plan
+
+    n_pad = -(-n // ti) * ti
+    l_pad = -(-width // 128) * 128
+    mat = n_pad * l_pad
+    return mat, get_plan(measure).total_channels * n_pad * l_pad
+
+
+@pytest.mark.parametrize("measure", ["n", "raw"])
+def test_gcache_respects_hbm_budget(monkeypatch, measure):
+    n, width, ti = 32, 256, 32
+    mat_b, cache_b = _footprints(n, width, measure, ti)
+    eng = engine._BlockEngine(measure, "xla", ti, ti, width)
+
+    # budget admits the cache: engaged
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", cache_b + mat_b)
+    dev = eng.prepare(_mat(n, width), ti)
+    assert eng.gfeat_of(dev) is not None
+    eng.release(dev)
+
+    # one byte short: cache must NOT engage (this is the OOM guard)
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", cache_b + mat_b - 1)
+    dev = eng.prepare(_mat(n, width, seed=1), ti)
+    assert eng.gfeat_of(dev) is None
+    eng.release(dev)
+
+
+def test_fcache_respects_hbm_budget(monkeypatch):
+    n, width, ti = 32, 256, 32
+    mat_b, cache_b = _footprints(n, width, "raw", ti)
+    eng = engine._BlockEngine("raw", "xla", ti, ti, width)
+
+    # g engages too (cache_g defaults True), so f needs 2*cache + mat
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", 2 * cache_b + mat_b)
+    dev = eng.prepare(_mat(n, width), ti, cache_f=True)
+    assert eng._fcache.get(id(dev)) is not None
+    eng.release(dev)
+
+    monkeypatch.setattr(
+        engine, "HBM_BUDGET_BYTES", 2 * cache_b + mat_b - 1
+    )
+    dev = eng.prepare(_mat(n, width, seed=1), ti, cache_f=True)
+    assert eng._fcache.get(id(dev)) is None
+    eng.release(dev)
+
+
+def _run_square(measure, fasta, backend="xla"):
+    loaded = load_fastas([io.BytesIO(fasta)])
+    loaded[0].count_bases()
+    out = io.BytesIO()
+    setup = engine.Setup(
+        loaded=loaded, streamed=None, writer=TsvWriter(out),
+        measure=measure, n_threads=1, batchsize=1, backend=backend,
+        tile_i=16, tile_j=16,
+    )
+    engine.run(setup)
+    return out.getvalue()
+
+
+def test_incore_sweep_with_cache_disabled_matches_numpy(monkeypatch):
+    """Budget between codes and codes+cache: the sweep stays in-core,
+    the cache silently disables, bytes match the numpy oracle."""
+    from distance_tpu.encoding import CODE_TO_CHAR
+
+    rng = np.random.default_rng(7)
+    mat = rng.choice(ALL_CODES, size=(40, 300)).astype(np.uint8)
+    fasta = b"".join(
+        b">s%d\n%s\n" % (i, "".join(CODE_TO_CHAR[c] for c in r).encode())
+        for i, r in enumerate(mat)
+    )
+    mat_b, cache_b = _footprints(40, 300, "n", 16)
+    # admits padded codes but not codes + cache
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", cache_b + mat_b - 1)
+    got = _run_square("n", fasta)
+    want = _run_square("n", fasta, backend="numpy")
+    assert got == want
