@@ -2856,8 +2856,9 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
         last_ordinal = (g1 - 1 - row_lo) // ti
         if last_ordinal < done:
             continue
-        dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti, diff_ref=dref,
-                            cache_g=False, cache_f=True)
+        with phase_timer("ooc-xgroup-prepare"):
+            dev_x = eng.prepare(source[g0:g1], ti, row_tile=ti,
+                                diff_ref=dref, cache_g=False, cache_f=True)
         span = n - g0
         bufs = np.zeros((len(plan.counters), g1 - g0, span), dtype=np.int32)
 
@@ -2870,7 +2871,8 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
         # serpentine: accumulation order into bufs is output-invariant,
         # and the boundary super-row stays device-resident across groups
         for q0, q1 in yside.serpentine(spans):
-            dev_y = yside.get(q0, q1)
+            with phase_timer("ooc-stage"):
+                dev_y = yside.get(q0, q1)
             sr_items = []
             for i0_loc in range(0, g1 - g0, ti):
                 abs_i0 = g0 + i0_loc
@@ -2889,15 +2891,16 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
             for i0_loc, col_starts, handle in sr_items:
                 si = min(ti, g1 - g0 - i0_loc)
                 vcols = (q1 - q0) - col_starts[0]
-                strip = _fetch_strip(
-                    eng, handle, si, vcols,
-                    redispatch=lambda mode, i0_loc=i0_loc,
-                    col_starts=col_starts, g0=g0, g1=g1, q0=q0, q1=q1:
-                    _dispatch_strip(
-                        eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
-                        mode, nv=(g1 - g0, q1 - q0), diag_off=g0 - q0
-                    ),
-                )
+                with phase_timer("ooc-fetch-wait"):
+                    strip = _fetch_strip(
+                        eng, handle, si, vcols,
+                        redispatch=lambda mode, i0_loc=i0_loc,
+                        col_starts=col_starts, g0=g0, g1=g1, q0=q0, q1=q1:
+                        _dispatch_strip(
+                            eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
+                            mode, nv=(g1 - g0, q1 - q0), diag_off=g0 - q0
+                        ),
+                    )
                 c0_abs = q0 + col_starts[0]
                 # the first tj-aligned block can begin before the
                 # group's column origin g0 (when ti is not a multiple of
@@ -3085,12 +3088,14 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
         last_ordinal = (g1 - 1 - row_lo) // ti
         if last_ordinal < done:
             continue
-        dev_x = eng.prepare(src1[g0:g1], ti, row_tile=ti, diff_ref=dref,
-                            cache_g=False, cache_f=True)
+        with phase_timer("ooc-xgroup-prepare"):
+            dev_x = eng.prepare(src1[g0:g1], ti, row_tile=ti,
+                                diff_ref=dref, cache_g=False, cache_f=True)
         bufs = np.zeros((len(plan.counters), g1 - g0, n2), dtype=np.int32)
 
         for q0, q1 in yside.serpentine(all_spans):
-            dev_y = yside.get(q0, q1)
+            with phase_timer("ooc-stage"):
+                dev_y = yside.get(q0, q1)
             col_starts = list(range(0, q1 - q0, tj))
             sr_items = []
             for i0_loc in range(0, g1 - g0, ti):
@@ -3101,14 +3106,16 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
                 sr_items.append((i0_loc, handle))
             for i0_loc, handle in sr_items:
                 si = min(ti, g1 - g0 - i0_loc)
-                strip = _fetch_strip(
-                    eng, handle, si, q1 - q0,
-                    redispatch=lambda mode, i0_loc=i0_loc, g0=g0, g1=g1,
-                    q0=q0, q1=q1, col_starts=col_starts: _dispatch_strip(
-                        eng, dev_x, dev_y, i0_loc, col_starts, ti, tj,
-                        mode, nv=(g1 - g0, q1 - q0)
-                    ),
-                )
+                with phase_timer("ooc-fetch-wait"):
+                    strip = _fetch_strip(
+                        eng, handle, si, q1 - q0,
+                        redispatch=lambda mode, i0_loc=i0_loc, g0=g0,
+                        g1=g1, q0=q0, q1=q1, col_starts=col_starts:
+                        _dispatch_strip(
+                            eng, dev_x, dev_y, i0_loc, col_starts, ti,
+                            tj, mode, nv=(g1 - g0, q1 - q0)
+                        ),
+                    )
                 bufs[
                     :, i0_loc : i0_loc + si, q0 : q0 + strip.shape[2]
                 ] = strip
