@@ -137,6 +137,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_keys_hashrank_slots.restype = ctypes.c_int
     lib.dt_map_i32.argtypes = [p_i32, i64, i64, p_i32]
     lib.dt_map_i32.restype = None
+    lib.dt_count_bases.argtypes = [p_u8, i64, i64, p_u8, p_i32]
+    lib.dt_count_bases.restype = None
     return lib
 
 

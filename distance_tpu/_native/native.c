@@ -134,6 +134,33 @@ void dt_code_hist(const uint8_t *mat, int64_t rows, int64_t width,
     }
 }
 
+/* Per-record counts of 4 specific code values (the tn93 ATGC tally,
+ * fastaio.Alignment.count_bases).  One pass; the four equality
+ * compares auto-vectorize (vs numpy's four full-matrix boolean
+ * temporaries).  Callers parallelize over row ranges from Python
+ * (ctypes releases the GIL).  out is (rows, 4) int32. */
+void dt_count_bases(const uint8_t *mat, int64_t rows, int64_t width,
+                    const uint8_t *codes4, int32_t *out) {
+    const uint8_t cA = codes4[0], cT = codes4[1];
+    const uint8_t cG = codes4[2], cC = codes4[3];
+    for (int64_t r = 0; r < rows; r++) {
+        const uint8_t *row = mat + r * width;
+        int64_t a = 0, t = 0, g = 0, c = 0;
+        for (int64_t j = 0; j < width; j++) {
+            uint8_t v = row[j];
+            a += (v == cA);
+            t += (v == cT);
+            g += (v == cG);
+            c += (v == cC);
+        }
+        int32_t *o = out + r * 4;
+        o[0] = (int32_t)a;
+        o[1] = (int32_t)t;
+        o[2] = (int32_t)g;
+        o[3] = (int32_t)c;
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* TSV formatting                                                      */
 /* ------------------------------------------------------------------ */

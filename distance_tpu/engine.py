@@ -239,10 +239,15 @@ def _input_fingerprint(paths: Sequence[str]) -> List[dict]:
     return fps
 
 
-# Matrices at least this large count tn93 bases on-device: one chunked
-# upload + an (n, 4) reduction beats four full host passes at scale.
+# Count tn93 bases on-device for matrices at least this large (opt-in
+# via DISTANCE_TPU_BASECOUNT_DEVICE_MIN).  Default off: the host count
+# is one GIL-released native pass (~2 GB/s/core, fastaio.dt_count_bases
+# — 0.13 s for 8000 x 29904 vs 79 s for the dense device upload on a
+# degraded relay window), and the count's dense H2D cannot reuse the
+# sweep's diff-encoded upload, so a separate upload only pays on a
+# fast link with a starved host.
 BASE_COUNT_DEVICE_MIN_BYTES = int(
-    _os.environ.get("DISTANCE_TPU_BASECOUNT_DEVICE_MIN", 64 << 20)
+    _os.environ.get("DISTANCE_TPU_BASECOUNT_DEVICE_MIN", 1 << 62)
 )
 
 

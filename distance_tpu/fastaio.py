@@ -20,6 +20,52 @@ import numpy as np
 from distance_tpu.encoding import ENCODING, A, G, C, T
 
 
+def _count_bases_host(m: np.ndarray) -> np.ndarray:
+    """(n, 4) int32 per-row counts of encoded A/T/G/C."""
+    n = m.shape[0]
+    if n and m.size and m.flags["C_CONTIGUOUS"]:
+        from distance_tpu._native import get_lib
+
+        lib = get_lib()
+        if lib is not None:
+            import ctypes
+
+            out = np.empty((n, 4), dtype=np.int32)
+            codes = np.array([A, T, G, C], dtype=np.uint8)
+            p_u8 = ctypes.POINTER(ctypes.c_uint8)
+            p_i32 = ctypes.POINTER(ctypes.c_int32)
+
+            def _chunk(r0: int, r1: int) -> None:
+                lib.dt_count_bases(
+                    m[r0:r1].ctypes.data_as(p_u8), r1 - r0, m.shape[1],
+                    codes.ctypes.data_as(p_u8),
+                    out[r0:r1].ctypes.data_as(p_i32),
+                )
+
+            workers = min(_os.cpu_count() or 1, max(1, n // 4096))
+            if workers > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                bounds = np.linspace(0, n, workers + 1, dtype=np.int64)
+                with ThreadPoolExecutor(workers) as ex:
+                    list(ex.map(
+                        lambda se: _chunk(int(se[0]), int(se[1])),
+                        zip(bounds[:-1], bounds[1:]),
+                    ))
+            else:
+                _chunk(0, n)
+            return out
+    return np.stack(
+        [
+            (m == A).sum(axis=1),
+            (m == T).sum(axis=1),
+            (m == G).sum(axis=1),
+            (m == C).sum(axis=1),
+        ],
+        axis=1,
+    ).astype(np.int32)
+
+
 class DistanceError(Exception):
     """Engine error carrying a user-facing message.
 
@@ -136,17 +182,14 @@ class Alignment:
     def count_bases(self) -> np.ndarray:
         """Per-record counts of encoded A/T/G/C (case-insensitive by
         construction), as used by the loaded-path tn93
-        (/root/reference/src/fastaio.rs:53-66)."""
+        (/root/reference/src/fastaio.rs:53-66).
+
+        One GIL-released native pass (threaded over row chunks) when the
+        library is available — the numpy spelling allocates four
+        full-matrix boolean temporaries and measured ~120 MB/s on this
+        host vs multi-GB/s for the single C pass."""
         m = self.matrix
-        self.base_counts = np.stack(
-            [
-                (m == A).sum(axis=1),
-                (m == T).sum(axis=1),
-                (m == G).sum(axis=1),
-                (m == C).sum(axis=1),
-            ],
-            axis=1,
-        ).astype(np.int32)
+        self.base_counts = _count_bases_host(m)
         return self.base_counts
 
     def tally_ranks(self):

@@ -271,3 +271,25 @@ def test_native_stream_reader_error_order(monkeypatch):
     with pytest.raises(fio.DistanceError) as e:
         list(it)
     assert "Different length sequences" in str(e.value)
+
+
+def test_count_bases_native_matches_numpy(monkeypatch):
+    """The GIL-released native tally equals the numpy spelling on
+    ambiguity-rich data, across odd shapes and the threaded split."""
+    import distance_tpu.fastaio as fio
+    from distance_tpu.encoding import ALL_CODES, A, C, G, T
+
+    rng = np.random.default_rng(5)
+    for shape in [(1, 7), (3, 1), (257, 129), (9000, 33)]:
+        m = rng.choice(ALL_CODES, size=shape).astype(np.uint8)
+        want = np.stack(
+            [(m == v).sum(axis=1) for v in (A, T, G, C)], axis=1
+        ).astype(np.int32)
+        assert np.array_equal(fio._count_bases_host(m), want), shape
+    # non-contiguous input falls back to the numpy path, same values
+    m = rng.choice(ALL_CODES, size=(64, 64)).astype(np.uint8)[:, ::2]
+    assert not m.flags["C_CONTIGUOUS"]
+    want = np.stack(
+        [(m == v).sum(axis=1) for v in (A, T, G, C)], axis=1
+    ).astype(np.int32)
+    assert np.array_equal(fio._count_bases_host(m), want)
