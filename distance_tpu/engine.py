@@ -986,12 +986,7 @@ class _BlockEngine:
 
                 dev = jax.device_put(
                     _padded(),
-                    NamedSharding(
-                        jax.sharding.Mesh(
-                            np.array(jax.devices()), ("dp",)
-                        ),
-                        P(None, None),
-                    ),
+                    NamedSharding(_device_mesh(self.tj), P(None, None)),
                 )
             else:
                 dev = _chunked_h2d(_padded())
@@ -2605,20 +2600,21 @@ def _split_strips(weights: List[int], shard: Optional[Tuple[int, int]]):
     return bounds[k], bounds[k + 1]
 
 
-def _prepared_footprint(n: int, width: int, ti: int, tj: int,
+def _prepared_footprint(n: int, width: int, ti: int, max_block: int,
                         measure: str, backend: str,
                         cache_g: bool = True) -> int:
-    """Device bytes an in-core ``prepare`` of an (n, width) matrix will
-    hold resident: padded codes plus the g-side feature cache IF the
-    engagement predicates in :meth:`_BlockEngine.prepare` will fire.
-    The in-core/out-of-core gates compare THIS (not raw source bytes)
-    against the HBM budget — raw bytes under-count by up to
+    """Device bytes an in-core ``prepare(matrix, max_block)`` on a
+    strip-stride-``ti`` engine will hold resident: padded codes plus
+    the g-side feature cache IF the engagement predicates in
+    :meth:`_BlockEngine.prepare` will fire.  Replays prepare's exact
+    n_pad formula (strips of ``ti`` rows, last padded to ``max_block``)
+    — the in-core/out-of-core gates compare THIS against the HBM
+    budget; raw source bytes under-count by up to
     (1 + total_channels)x when the cache engages."""
     if backend == "numpy":
         return 0
-    tile = max(ti, tj)
     n_strips = max(1, -(-n // ti))
-    n_pad = max((n_strips - 1) * ti + max(tile, ti), tile)
+    n_pad = max((n_strips - 1) * ti + max(max_block, ti), max_block)
     l_pad = -(-max(width, 1) // 128) * 128
     mat = n_pad * l_pad
     if cache_g and backend == "xla" and FEATCACHE_BUDGET > 0:
@@ -2641,7 +2637,9 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
         (source,), same_offset, width = pruned
     backend = _resolve_backend(setup.backend, 0.5 * n * n * max(width, 1))
     ti, tj = _choose_tiles(n, n, setup, backend)
-    footprint = _prepared_footprint(n, width, ti, tj, setup.measure, backend)
+    footprint = _prepared_footprint(
+        n, width, ti, max(ti, tj), setup.measure, backend
+    )
     if backend != "numpy" and footprint > HBM_BUDGET_BYTES:
         print(
             f"[distance-tpu] out-of-core sweep: {footprint / 1e9:.2f} GB"
@@ -2769,13 +2767,15 @@ class _StagedSide:
         if self._key == key:
             return self._dev
         self.drop()
-        # host-RAM guard: stop admitting NEW encode memos past the
-        # budget (existing ones keep paying; overflow spans just
-        # re-encode, the round-4 behavior)
+        # host-RAM guard: stop admitting NEW encode memos past HALF the
+        # host-buffer budget — the other half is already committed to
+        # the sweep's group/counter buffers, which size themselves to
+        # HOST_BUF_BUDGET (overflow spans just re-encode, the round-4
+        # behavior)
         memo = self._memos.get(key)
-        if memo is None and self._memo_bytes < HOST_BUF_BUDGET:
+        if memo is None and self._memo_bytes < HOST_BUF_BUDGET // 2:
             memo = self._memos[key] = {}
-        had_enc = memo is not None and "enc" in memo
+        prev = memo.get("enc") if memo is not None else None
         # prepare() reuses the engine's uploader when diff_ref is the
         # same object (including a stream-retargeted one, whose memos
         # revalidate per uploader), so passing it every time is free
@@ -2784,10 +2784,16 @@ class _StagedSide:
             diff_ref=self.diff_ref, cache_g=self.cache_g,
             h2d_memo=memo,
         )
-        if memo is not None and not had_enc:
+        if memo is not None:
+            # identity-based accounting: prepare may REPLACE a memoized
+            # encoding (uploader swapped by a stream retarget, or n_pad
+            # changed), not just fill an empty slot
             enc = memo.get("enc")
-            if enc is not None:
-                self._memo_bytes += enc[0].nbytes + enc[1].nbytes
+            if enc is not prev:
+                if prev is not None:
+                    self._memo_bytes -= prev[0].nbytes + prev[1].nbytes
+                if enc is not None:
+                    self._memo_bytes += enc[0].nbytes + enc[1].nbytes
         self._key = key
         return self._dev
 
@@ -2877,6 +2883,11 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
         # and the boundary super-row stays device-resident across groups
         for q0, q1 in yside.serpentine(spans):
             with phase_timer("ooc-stage"):
+                # drop the previous super-row's reference BEFORE the
+                # next staging uploads, or two Y slots are transiently
+                # device-resident (all of this group's fetches have
+                # completed, so nothing can still redispatch against it)
+                dev_y = None
                 dev_y = yside.get(q0, q1)
             sr_items = []
             for i0_loc in range(0, g1 - g0, ti):
@@ -2965,11 +2976,14 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     backend = _resolve_backend(setup.backend, float(n1) * n2 * max(width, 1))
     ti, tj = _choose_tiles(n1, n2, setup, backend)
     # file1 strips are prepared with cache_g=False (the f side), file2
-    # with the g-feature cache when it engages — account for both
+    # with the g-feature cache when it engages — account for both.
+    # Both prepares pad rows with the ENGINE's strip stride ti (file2's
+    # max_block is tj): modeling file2 with a tj stride under-counts by
+    # up to max(ti, tj) rows x (1 + channels) x l_pad at ti != tj.
     footprint = (
-        _prepared_footprint(n1, width, ti, tj, setup.measure, backend,
+        _prepared_footprint(n1, width, ti, ti, setup.measure, backend,
                             cache_g=False)
-        + _prepared_footprint(n2, width, tj, tj, setup.measure, backend)
+        + _prepared_footprint(n2, width, ti, tj, setup.measure, backend)
     )
     if backend != "numpy" and footprint > HBM_BUDGET_BYTES:
         print(
@@ -3100,6 +3114,8 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
 
         for q0, q1 in yside.serpentine(all_spans):
             with phase_timer("ooc-stage"):
+                # see _sweep_square_blocked: release before re-staging
+                dev_y = None
                 dev_y = yside.get(q0, q1)
             col_starts = list(range(0, q1 - q0, tj))
             sr_items = []
@@ -3539,12 +3555,29 @@ def _run_stream(setup: Setup) -> None:
         except Exception:
             pass  # the stream error is the one to report
         finally:
+            if prep_fut is not None:
+                # retrieve the overlapped prepare's outcome so a failed
+                # upload is not silently dropped (the stream error
+                # stays the one reported)
+                prep_fut.cancel()
+
+                def _consume(f):
+                    try:
+                        f.exception()
+                    except Exception:
+                        pass
+
+                prep_fut.add_done_callback(_consume)
             dispatcher.shutdown(wait=False)
         raise
     dispatch_group()
     while pending:
         flush_one()
     dispatcher.shutdown()
+    if prep_fut is not None:
+        # an empty stream never consumes the overlapped prepare; a
+        # failed upload must still surface, not vanish with the thread
+        prep_fut.result()
     emitter.finish()
 
 
@@ -3587,7 +3620,11 @@ def _dispatch_stream_staged(eng: _BlockEngine, lside: _StagedSide,
     spans = [
         (q0, min(q0 + sr_rows, n1)) for q0 in range(0, n1, sr_rows)
     ]
+    m1q = None
     for q0, q1 in lside.serpentine(spans):
+        # release the previous super-row's reference before the next
+        # staging uploads (its fetch completed; redisp closures died)
+        m1q = None
         m1q = lside.get(q0, q1)
 
         def redisp(m, m1q=m1q, q0=q0, q1=q1):
