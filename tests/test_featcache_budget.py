@@ -106,3 +106,64 @@ def test_incore_sweep_with_cache_disabled_matches_numpy(monkeypatch):
     got = _run_square("n", fasta)
     want = _run_square("n", fasta, backend="numpy")
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "n,ti,max_block", [(40, 16, 16), (40, 16, 48), (100, 16, 64),
+                       (64, 32, 32), (7, 16, 128)]
+)
+def test_footprint_models_prepare_padding_exactly(n, ti, max_block):
+    """_prepared_footprint's n_pad must replay prepare()'s formula —
+    the rectangle gate under-counted file2 by modeling a tj row stride
+    while prepare pads with the ENGINE's strip stride ti (self-review
+    round-5 finding)."""
+    width = 130
+    eng = engine._BlockEngine("raw", "xla", ti, max_block, width)
+    dev = eng.prepare(_mat(n, width), max_block)
+    l_pad = -(-width // 128) * 128
+    mat_bytes = dev.shape[0] * dev.shape[1]
+    assert dev.shape[1] == l_pad
+    got = engine._prepared_footprint(
+        n, width, ti, max_block, "raw", "xla", cache_g=False
+    )
+    assert got == mat_bytes
+    eng.release(dev)
+
+
+def test_staged_memo_accounting_tracks_replacement(monkeypatch):
+    """_StagedSide._memo_bytes: a replaced encoding (n_pad change or
+    uploader swap invalidates the memo inside prepare) must release the
+    stale bytes and count the fresh ones (identity-based accounting)."""
+    from distance_tpu.encoding import A as code_A, G as code_G
+
+    rng = np.random.default_rng(3)
+    width = 130
+    ref = np.full(width, code_A, dtype=np.uint8)
+    base = np.tile(ref, (64, 1))
+    base[rng.integers(0, 64, 40), rng.integers(0, width, 40)] = code_G
+    eng = engine._BlockEngine("raw", "xla", 16, 16, width)
+    side = engine._StagedSide(eng, base, 16, ref)
+    side.get(0, 32)
+    b1 = side._memo_bytes
+    assert b1 > 0
+    # same span again: device hit, accounting unchanged
+    side.get(0, 32)
+    assert side._memo_bytes == b1
+    # swap the uploader (a stream retarget does this): the memo
+    # revalidates, the encoding is REPLACED, bytes must not leak
+    ref2 = np.full(width, 72, dtype=np.uint8)  # all 'G'
+    side.get(32, 64)
+    b2 = side._memo_bytes
+    side.diff_ref = ref2
+    eng.diff_up = None
+    eng._diff_ref_src = None
+    side.get(0, 32)
+    # the (0,32) memo's old bytes were released and the new encoding
+    # (vs the all-G reference: ~width diffs/row) was counted
+    assert side._memo_bytes != b2 or side._memos[(0, 32)]["enc"] is not None
+    total = 0
+    for m in side._memos.values():
+        enc = m.get("enc")
+        if enc is not None:
+            total += enc[0].nbytes + enc[1].nbytes
+    assert side._memo_bytes == total
