@@ -378,15 +378,37 @@ def _resolve_backend(backend: str, pairsites: float) -> str:
     return "xla"
 
 
+@functools.lru_cache(maxsize=None)
+def _mesh_all_devices():
+    """The process-constant 1-D "dp" Mesh over all local devices (cached:
+    the device list never changes within a process)."""
+    import jax
+
+    return jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+
+
 def _device_mesh(n_blocks: int):
     """A 1-D "dp" mesh over all local devices, if block columns divide
-    evenly; None for single-device runs."""
+    evenly; None for single-device runs.  The divisibility decision stays
+    live (tests pin jax.device_count); only the Mesh object is cached."""
     import jax
 
     ndev = jax.device_count()
     if ndev <= 1 or n_blocks % ndev != 0:
         return None
-    return jax.sharding.Mesh(np.array(jax.devices()), ("dp",))
+    return _mesh_all_devices()
+
+
+def _replicated_put(arr: np.ndarray, tj: int):
+    """Dense H2D replicated over the dp mesh — the sharded engines' dense
+    fallback when no diff encoding applies (GSPMD then splits the GEMM's
+    column axis; the sequence matrix itself is replicated)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(
+        arr, NamedSharding(_device_mesh(tj), P(*(None,) * arr.ndim))
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -982,21 +1004,11 @@ class _BlockEngine:
             if enc is not None:
                 dev = self.diff_up.upload_encoded(enc, n_pad)
             elif self.sharded:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                dev = jax.device_put(
-                    _padded(),
-                    NamedSharding(_device_mesh(self.tj), P(None, None)),
-                )
+                dev = _replicated_put(_padded(), self.tj)
             else:
                 dev = _chunked_h2d(_padded())
         elif self.sharded:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            mesh = _device_mesh(self.tj)
-            dev = jax.device_put(
-                _padded(), NamedSharding(mesh, P(None, None))
-            )
+            dev = _replicated_put(_padded(), self.tj)
         else:
             dev = _chunked_h2d(_padded())
         # Reference row for rel packing: reuse the diff-upload reference
@@ -1017,12 +1029,7 @@ class _BlockEngine:
                 refp = np.zeros(l_pad, dtype=np.uint8)
                 refp[:width] = sampled_mode_row(matrix)
                 if self.sharded:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    mesh = _device_mesh(self.tj)
-                    self.rel_ref = jax.device_put(
-                        refp, NamedSharding(mesh, P(None))
-                    )
+                    self.rel_ref = _replicated_put(refp, self.tj)
                 else:
                     self.rel_ref = jnp.asarray(refp)
         # Persistent g-side feature cache: build (R, n_pad, l_pad) int8
@@ -1042,14 +1049,24 @@ class _BlockEngine:
         # accounting already, and their tile-size floor must stage (and
         # may cache) at least one tile regardless of a forced budget.
         cache_need = self.plan.total_channels * n_pad * l_pad
+        # Sharded engines build the g cache with the BLOCKED builder,
+        # which pads rows up to a tj multiple (_jit_feat_builder_blocked)
+        # — account those extra rows or an exact-fit engagement can OOM
+        # at ti != tj (up to channels x (tj-1) x l_pad under-count).
+        g_need = cache_need
+        if self.sharded:
+            g_need = (
+                self.plan.total_channels
+                * (-(-n_pad // self.tj) * self.tj) * l_pad
+            )
         mat_bytes = n_pad * l_pad
         hbm_ok = (
             row_tile is not None
-            or cache_need + mat_bytes <= HBM_BUDGET_BYTES
+            or g_need + mat_bytes <= HBM_BUDGET_BYTES
         )
         g_engaged = (
             self.feat_cache_on and cache_g
-            and cache_need <= FEATCACHE_BUDGET
+            and g_need <= FEATCACHE_BUDGET
             and hbm_ok
         )
         if g_engaged:
@@ -1063,7 +1080,7 @@ class _BlockEngine:
             and cache_need <= FEATCACHE_BUDGET // 2
             and (
                 row_tile is not None
-                or cache_need * (2 if g_engaged else 1) + mat_bytes
+                or cache_need + (g_need if g_engaged else 0) + mat_bytes
                 <= HBM_BUDGET_BYTES
             )
         ):
@@ -2602,7 +2619,8 @@ def _split_strips(weights: List[int], shard: Optional[Tuple[int, int]]):
 
 def _prepared_footprint(n: int, width: int, ti: int, max_block: int,
                         measure: str, backend: str,
-                        cache_g: bool = True) -> int:
+                        cache_g: bool = True,
+                        tj: Optional[int] = None) -> int:
     """Device bytes an in-core ``prepare(matrix, max_block)`` on a
     strip-stride-``ti`` engine will hold resident: padded codes plus
     the g-side feature cache IF the engagement predicates in
@@ -2610,7 +2628,10 @@ def _prepared_footprint(n: int, width: int, ti: int, max_block: int,
     n_pad formula (strips of ``ti`` rows, last padded to ``max_block``)
     — the in-core/out-of-core gates compare THIS against the HBM
     budget; raw source bytes under-count by up to
-    (1 + total_channels)x when the cache engages."""
+    (1 + total_channels)x when the cache engages.  ``tj``: the engine's
+    column tile — on a sharded engine the blocked g-cache builder pads
+    cache rows up to a tj multiple, and the footprint must replay that
+    rounding too."""
     if backend == "numpy":
         return 0
     n_strips = max(1, -(-n // ti))
@@ -2618,7 +2639,10 @@ def _prepared_footprint(n: int, width: int, ti: int, max_block: int,
     l_pad = -(-max(width, 1) // 128) * 128
     mat = n_pad * l_pad
     if cache_g and backend == "xla" and FEATCACHE_BUDGET > 0:
-        need = get_plan(measure).total_channels * n_pad * l_pad
+        rows = n_pad
+        if tj is not None and _device_mesh(tj) is not None:
+            rows = -(-n_pad // tj) * tj
+        need = get_plan(measure).total_channels * rows * l_pad
         if need <= FEATCACHE_BUDGET and need + mat <= HBM_BUDGET_BYTES:
             mat += need
     return mat
@@ -2638,7 +2662,7 @@ def _sweep_square(setup: Setup, aln: Alignment) -> None:
     backend = _resolve_backend(setup.backend, 0.5 * n * n * max(width, 1))
     ti, tj = _choose_tiles(n, n, setup, backend)
     footprint = _prepared_footprint(
-        n, width, ti, max(ti, tj), setup.measure, backend
+        n, width, ti, max(ti, tj), setup.measure, backend, tj=tj
     )
     if backend != "numpy" and footprint > HBM_BUDGET_BYTES:
         print(
@@ -2768,9 +2792,10 @@ class _StagedSide:
             return self._dev
         self.drop()
         # host-RAM guard: stop admitting NEW encode memos past HALF the
-        # host-buffer budget — the other half is already committed to
-        # the sweep's group/counter buffers, which size themselves to
-        # HOST_BUF_BUDGET (overflow spans just re-encode, the round-4
+        # host-buffer budget — the sweeps' group/counter buffers size
+        # themselves to the OTHER half (their group caps use
+        # HOST_BUF_BUDGET // 2), so buffers + memos together honor the
+        # documented knob (overflow spans just re-encode, the round-4
         # behavior)
         memo = self._memos.get(key)
         if memo is None and self._memo_bytes < HOST_BUF_BUDGET // 2:
@@ -2831,7 +2856,10 @@ def _sweep_square_blocked(setup: Setup, aln: Alignment, source: np.ndarray,
     )
     sr_rows = max(tj, (HBM_BUDGET_BYTES // 3 // row_bytes) // tj * tj)
     bytes_per_pair = 4 * len(plan.counters)
-    group_cap = max(ti, int(HOST_BUF_BUDGET // max(1, n * bytes_per_pair))
+    # half the host budget: the other half is _StagedSide's encode-memo
+    # admission cap — together they honor HOST_BUF_BUDGET
+    group_cap = max(ti,
+                    int(HOST_BUF_BUDGET // 2 // max(1, n * bytes_per_pair))
                     // ti * ti)
     # The X group gets its own ti-aligned HBM cap: group_rows MUST be a
     # multiple of ti or the resume/progress ordinals (abs_i0 - row_lo)
@@ -2983,7 +3011,8 @@ def _sweep_rectangle(setup: Setup, aln1: Alignment, aln2: Alignment) -> None:
     footprint = (
         _prepared_footprint(n1, width, ti, ti, setup.measure, backend,
                             cache_g=False)
-        + _prepared_footprint(n2, width, ti, tj, setup.measure, backend)
+        + _prepared_footprint(n2, width, ti, tj, setup.measure, backend,
+                              tj=tj)
     )
     if backend != "numpy" and footprint > HBM_BUDGET_BYTES:
         print(
@@ -3076,7 +3105,9 @@ def _sweep_rectangle_blocked(setup: Setup, aln1: Alignment, aln2: Alignment,
     )
     sr_rows = max(tj, (HBM_BUDGET_BYTES // 3 // row_bytes) // tj * tj)
     bytes_per_pair = 4 * len(plan.counters)
-    group_cap = max(ti, int(HOST_BUF_BUDGET // max(1, n2 * bytes_per_pair))
+    # half the host budget; the other half is _StagedSide's memo cap
+    group_cap = max(ti,
+                    int(HOST_BUF_BUDGET // 2 // max(1, n2 * bytes_per_pair))
                     // ti * ti)
     # ti-aligned X cap: see _sweep_square_blocked — a tj-aligned
     # group_rows collides resume ordinals when ti != tj
@@ -3236,18 +3267,19 @@ def _run_stream(setup: Setup) -> None:
         if not _os.environ.get("DISTANCE_TPU_STREAM_GROUP"):
             grows = max(grows, 2048)
             # each staged group assembles a (C, n1, grows) int32 host
-            # buffer; bound it by HOST_BUF_BUDGET or a large loaded side
-            # (the very case that triggers staging) silently holds tens
-            # of GB of host RAM across the in-flight groups
+            # buffer; bound it by HALF of HOST_BUF_BUDGET (the other
+            # half is _StagedSide's encode-memo cap) or a large loaded
+            # side (the very case that triggers staging) silently holds
+            # tens of GB of host RAM across the in-flight groups
             bytes_per_col = 4 * len(get_plan(setup.measure).counters) * n1
             cap_rows = max(
                 STAGED_ROWS_FLOOR,
-                HOST_BUF_BUDGET // max(1, bytes_per_col) // 2 * 2,
+                HOST_BUF_BUDGET // 2 // max(1, bytes_per_col) // 2 * 2,
             )
             grows = min(grows, cap_rows)
         grp_bytes = 4 * len(get_plan(setup.measure).counters) * n1 * grows
         pending_cap = max(
-            1, min(STREAM_PENDING, HOST_BUF_BUDGET // max(1, grp_bytes))
+            1, min(STREAM_PENDING, HOST_BUF_BUDGET // 2 // max(1, grp_bytes))
         )
     ti = min(setup.tile_i or _auto_tile(n1, backend), _pow2_at_least(n1))
     eng = _BlockEngine(setup.measure, backend, ti, grows, width_dev)

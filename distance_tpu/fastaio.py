@@ -640,15 +640,27 @@ def _stream_records_native(
     pend = collections.deque()
     ex = ThreadPoolExecutor(workers)
     try:
-        for data in _read_pieces(handle):
-            pend.append(
-                ex.submit(_parse_piece, data, width, want_tallies)
-            )
-            # bounded lookahead: ~(workers + 2) pieces in flight
-            while len(pend) > workers + 2:
+        try:
+            for data in _read_pieces(handle):
+                pend.append(
+                    ex.submit(_parse_piece, data, width, want_tallies)
+                )
+                # bounded lookahead: ~(workers + 2) pieces in flight
+                while len(pend) > workers + 2:
+                    yield from _emit_piece(
+                        pend.popleft().result(), width, want_tallies
+                    )
+        except Exception:
+            # Reader failure mid-stream: every piece fully read BEFORE
+            # it must still be yielded first (serial-path semantics —
+            # the serial loop emits each piece synchronously before the
+            # next read).  If a drained piece itself holds a bad record,
+            # its ordered DistanceError wins, as it would serially.
+            while pend:
                 yield from _emit_piece(
                     pend.popleft().result(), width, want_tallies
                 )
+            raise
         while pend:
             yield from _emit_piece(
                 pend.popleft().result(), width, want_tallies

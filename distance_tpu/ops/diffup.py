@@ -60,7 +60,11 @@ def _round_cap(n: int) -> int:
     return cap
 
 
+@functools.lru_cache(maxsize=None)
 def _all_device_mesh():
+    """Process-constant 1-D "dp" Mesh (cached — rebuilding a Mesh per
+    ref_dev/upload call is pure overhead; the device list never changes
+    within a process)."""
     import jax
 
     return jax.sharding.Mesh(np.array(jax.devices()), ("dp",))

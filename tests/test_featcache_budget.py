@@ -167,3 +167,55 @@ def test_staged_memo_accounting_tracks_replacement(monkeypatch):
         if enc is not None:
             total += enc[0].nbytes + enc[1].nbytes
     assert side._memo_bytes == total
+
+
+def test_sharded_gcache_accounts_tj_rounded_rows(monkeypatch):
+    """Sharded engines build the g cache with _jit_feat_builder_blocked,
+    which pads cache rows up to a tj multiple — the engagement predicate
+    must budget THOSE rows, not n_pad (an exact-fit engagement at
+    ti != tj could otherwise OOM by up to channels x (tj-1) x l_pad)."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from distance_tpu.ops.features import get_plan
+
+    n, width, ti, tj = 40, 256, 16, 32
+    assert tj % jax.device_count() == 0 or jax.device_count() % 2 == 0
+    eng = engine._BlockEngine("raw", "xla", ti, tj, width)
+    if not eng.sharded:
+        pytest.skip("mesh did not engage for tj=%d" % tj)
+    l_pad = -(-width // 128) * 128
+    n_pad = (-(-n // ti) - 1) * ti + max(ti, ti)  # prepare(mat, ti)
+    assert n_pad % tj != 0, "need a non-tj-multiple n_pad for this test"
+    rows_rounded = -(-n_pad // tj) * tj
+    r = get_plan("raw").total_channels
+    mat_b = n_pad * l_pad
+    need_rounded = r * rows_rounded * l_pad
+    need_unrounded = r * n_pad * l_pad
+
+    # exact fit of the TRUE (tj-rounded) tensor: engaged, and the cache
+    # tensor really does hold rows_rounded rows
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", need_rounded + mat_b)
+    dev = eng.prepare(_mat(n, width), ti)
+    gfeat = eng.gfeat_of(dev)
+    assert gfeat is not None
+    nb, rr, tjj, ll = gfeat.shape
+    assert nb * tjj == rows_rounded and (rr, ll) == (r, l_pad)
+    eng.release(dev)
+
+    # the OLD boundary (unrounded rows): must NOT engage — this budget
+    # is too small for the real tensor (pre-fix it engaged and OOMed)
+    monkeypatch.setattr(
+        engine, "HBM_BUDGET_BYTES", need_unrounded + mat_b
+    )
+    dev = eng.prepare(_mat(n, width, seed=1), ti)
+    assert eng.gfeat_of(dev) is None
+    eng.release(dev)
+
+    # _prepared_footprint replays the same rounding when given tj
+    monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", need_rounded + mat_b)
+    got = engine._prepared_footprint(
+        n, width, ti, ti, "raw", "xla", tj=tj
+    )
+    assert got == mat_b + need_rounded

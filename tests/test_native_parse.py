@@ -128,3 +128,48 @@ def test_parallel_stream_parse_midstream_error_order(rng, monkeypatch):
         "Invalid nucleotide character in record 'bad': 'Z'"
     )
     assert seen == [r for r, _s in good]
+
+
+@needs_native
+def test_parallel_stream_parse_reader_failure_drains_parsed(
+    rng, monkeypatch
+):
+    """A reader I/O failure (handle.read raising mid-stream) must not
+    drop pieces that were already fully read and parsed: the serial
+    loop emits each piece before the next read, so the parallel path
+    has to drain its in-flight pieces before re-raising."""
+    from tests.conftest import make_fasta, random_seqs
+
+    good = random_seqs(rng, 60, 64, amb_frac=0.2)
+    data = make_fasta(good)
+
+    class BoomAfter:
+        """Serves the whole FASTA, then raises instead of EOF."""
+
+        def __init__(self, payload: bytes):
+            self._buf = io.BytesIO(payload)
+
+        def read(self, n: int = -1) -> bytes:
+            chunk = self._buf.read(n)
+            if not chunk:
+                raise OSError("reader died")
+            return chunk
+
+    monkeypatch.setattr(fio, "STREAM_READ_BYTES", 128)  # many pieces
+
+    def drive(workers: str) -> list:
+        monkeypatch.setenv("DISTANCE_TPU_STREAM_PARSE_WORKERS", workers)
+        seen = []
+        with pytest.raises(OSError, match="reader died"):
+            for rid, _m, _t in fio._stream_records_native(
+                BoomAfter(data), 64, False
+            ):
+                seen.append(rid)
+        return seen
+
+    ser = drive("1")
+    par = drive("4")
+    # serial emits each piece before the next read, so everything except
+    # _read_pieces' final carry surfaces; parallel must match exactly
+    assert len(ser) >= 50
+    assert par == ser

@@ -369,7 +369,8 @@ def test_staged_stream_group_rows_bounded_by_host_budget(rng, monkeypatch):
     in-flight groups)."""
     monkeypatch.setattr(engine, "HBM_BUDGET_BYTES", 2000)
     # raw has 2 counters: bytes_per_col = 4 * 2 * n1 = 264 at n1=33;
-    # budget 4000 -> cap_rows = floor(4000/264) rounded down to even = 14
+    # group buffers get HALF the budget (the other half is the
+    # _StagedSide memo cap): cap_rows = floor(2000/264) down to even = 6
     monkeypatch.setattr(engine, "HOST_BUF_BUDGET", 4000)
     # the production 256-row floor would swallow the 14-row budget cap
     # (and exceed the 40 streamed rows entirely, making any assertion
@@ -392,8 +393,9 @@ def test_staged_stream_group_rows_bounded_by_host_budget(rng, monkeypatch):
     assert got == want
     assert seen, "staged path never engaged"
     n1 = 33
-    cap_rows = 4000 // (4 * 2 * n1) // 2 * 2  # = 14 < the 40 streamed rows
-    assert cap_rows == 14
+    # engine formula: half the budget for buffers, rounded down to even
+    cap_rows = 4000 // 2 // (4 * 2 * n1) // 2 * 2  # = 6 < 40 streamed rows
+    assert cap_rows == 6
     assert all(bn <= cap_rows for bn in seen), (seen, cap_rows)
 
 
