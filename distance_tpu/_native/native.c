@@ -373,23 +373,36 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
             }
             col = 0;
             i++;
-            /* id token */
+            /* id token: mirror Python's str.split(maxsplit=1) — skip
+             * LEADING ASCII whitespace after '>' (">  seq1" has id
+             * "seq1", not ""), then the token runs to the next
+             * whitespace (space, tab, \v, \f, \r) or EOL */
+            while (i < len && data[i] != '\n' &&
+                   (data[i] == ' ' || data[i] == '\t' ||
+                    data[i] == '\v' || data[i] == '\f' ||
+                    data[i] == '\r'))
+                i++;
             int64_t start = i;
             while (i < len && data[i] != '\n' && data[i] != '\r' &&
-                   data[i] != ' ' && data[i] != '\t')
+                   data[i] != ' ' && data[i] != '\t' &&
+                   data[i] != '\v' && data[i] != '\f')
                 i++;
             if (id_w + (i - start) > ids_cap) return 4;
             memcpy(ids + id_w, data + start, i - start);
             id_w += i - start;
             id_offs[rec + 1] = id_w;
-            /* skip spaces, then description till EOL */
-            while (i < len && (data[i] == ' ' || data[i] == '\t')) i++;
+            /* skip the separating whitespace run, then description till
+             * EOL; only the EOL's trailing \r is trimmed (Python keeps
+             * trailing spaces/tabs in the description verbatim) */
+            while (i < len && data[i] != '\n' &&
+                   (data[i] == ' ' || data[i] == '\t' ||
+                    data[i] == '\v' || data[i] == '\f' ||
+                    data[i] == '\r'))
+                i++;
             start = i;
             while (i < len && data[i] != '\n') i++;
             int64_t dend = i;
-            while (dend > start &&
-                   (data[dend - 1] == '\r' || data[dend - 1] == ' ' ||
-                    data[dend - 1] == '\t'))
+            while (dend > start && data[dend - 1] == '\r')
                 dend--;
             if (desc_w + (dend - start) > descs_cap) return 4;
             memcpy(descs + desc_w, data + start, dend - start);

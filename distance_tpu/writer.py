@@ -49,6 +49,12 @@ class TsvWriter:
         # rows() runs serially per writer, and fresh multi-GB allocations
         # per block are expensive on lazily-faulted VM memory.
         self._scratch: Dict[str, np.ndarray] = {}
+        # Per-side id-blob cache: square/rect sweeps pass the SAME id
+        # lists to every strip's rows() call; re-encoding 10^5-10^6 ids
+        # per block sits on the serial emitter path otherwise.  Keyed by
+        # object identity with a strong reference held, so a dead list's
+        # id() can never alias a new one.
+        self._idblob: Dict[int, tuple] = {}
 
     def _scr(self, name: str, n: int, dtype) -> np.ndarray:
         arr = self._scratch.get(name)
@@ -138,6 +144,12 @@ class TsvWriter:
             fd = out.fileno()
             self.flush()  # buffered bytes must land before the window
             pos = out.tell()
+            if _os.fstat(fd).st_size != pos:
+                # tell() is not the append position (e.g. an O_APPEND
+                # fd from shell '>>' reports 0 over existing content) —
+                # ftruncate here would destroy it; the buffered write
+                # path appends correctly, so fall back to it
+                return None
             _os.ftruncate(fd, pos + total)
             gran = _mmap.ALLOCATIONGRANULARITY
             delta = pos % gran
@@ -174,11 +186,28 @@ class TsvWriter:
             self._out.close()
 
 
-def _id_blob(ids: Sequence[str]):
+def _id_blob(ids: Sequence[str], sink: Optional["TsvWriter"] = None,
+             slot: int = 0):
+    """Concatenated utf-8 id bytes + offsets.
+
+    With a ``sink``, the result memoizes per (slot, ids-object): the
+    sweeps pass the same id list to every strip, so the encode + cumsum
+    + join runs once per alignment instead of once per block.  The
+    cached entry holds a strong reference to ``ids``, making the
+    identity check sound (a freed list's id() cannot be reused while
+    cached); callers must not mutate an id list between rows() calls.
+    """
+    if sink is not None:
+        hit = sink._idblob.get(slot)
+        if hit is not None and hit[0] is ids:
+            return hit[1], hit[2]
     enc = [s.encode() for s in ids]
     offs = np.zeros(len(enc) + 1, dtype=np.int64)
     np.cumsum([len(e) for e in enc], out=offs[1:])
-    return b"".join(enc), offs
+    blob = b"".join(enc)
+    if sink is not None:
+        sink._idblob[slot] = (ids, blob, offs)
+    return blob, offs
 
 
 # Rows formatted per native call — bounds the worst-case scratch buffer
@@ -207,44 +236,37 @@ def _value_table(values, keys: np.ndarray, keyspace: int, lib=None,
     emission becomes pure memcpy (dt_format_rows_pre).  A callable
     ``values`` is invoked only with the representative row indices — the
     per-pair f64 array is never materialized.
+
+    Requires the native lib: the only caller (_format_rows) takes this
+    path only when ``lib is not None`` (a numpy fallback here would be
+    dead code that could drift from dt_key_rank unnoticed).
     """
-    if lib is not None:
-        keys = np.ascontiguousarray(keys, dtype=np.int32)
-        n = keys.shape[0]
-        cap = min(n, keyspace)
-        if sink is not None:
-            rank = sink._scr("rank", keyspace, np.int32)
-            rank.fill(-1)
-            present = sink._scr("present", cap, np.int32)
-            first_row = sink._scr("first_row", cap, np.int64)
-            vidx = sink._scr("vidx", n, np.int32)
-        else:
-            rank = np.full(keyspace, -1, dtype=np.int32)
-            present = np.empty(cap, dtype=np.int32)
-            first_row = np.empty(cap, dtype=np.int64)
-            vidx = np.empty(n, dtype=np.int32)
-        p_i32 = ctypes.POINTER(ctypes.c_int32)
-        p_i64 = ctypes.POINTER(ctypes.c_int64)
-        n_present = lib.dt_key_rank(
-            keys.ctypes.data_as(p_i32), n, rank.ctypes.data_as(p_i32),
-            present.ctypes.data_as(p_i32),
-            first_row.ctypes.data_as(p_i64), vidx.ctypes.data_as(p_i32),
-        )
-        if callable(values):
-            reps = values(first_row[:n_present])
-        else:
-            reps = values[first_row[:n_present]]
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    n = keys.shape[0]
+    cap = min(n, keyspace)
+    if sink is not None:
+        rank = sink._scr("rank", keyspace, np.int32)
+        rank.fill(-1)
+        present = sink._scr("present", cap, np.int32)
+        first_row = sink._scr("first_row", cap, np.int64)
+        vidx = sink._scr("vidx", n, np.int32)
     else:
-        # numpy fallback: sort-free bincount + two O(n) gathers
-        if callable(values):
-            values = values(None)
-        present = np.flatnonzero(np.bincount(keys, minlength=keyspace))
-        table = np.empty(keyspace, dtype=values.dtype)
-        table[keys] = values
-        reps = table[present]
-        rank = np.zeros(keyspace, dtype=np.int32)
-        rank[present] = np.arange(present.size, dtype=np.int32)
-        vidx = np.ascontiguousarray(rank[keys])
+        rank = np.full(keyspace, -1, dtype=np.int32)
+        present = np.empty(cap, dtype=np.int32)
+        first_row = np.empty(cap, dtype=np.int64)
+        vidx = np.empty(n, dtype=np.int32)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    n_present = lib.dt_key_rank(
+        keys.ctypes.data_as(p_i32), n, rank.ctypes.data_as(p_i32),
+        present.ctypes.data_as(p_i32),
+        first_row.ctypes.data_as(p_i64), vidx.ctypes.data_as(p_i32),
+    )
+    if callable(values):
+        reps = values(first_row[:n_present])
+    else:
+        reps = values[first_row[:n_present]]
     if reps.dtype == np.float64:
         strs = [format_float(v).encode() for v in reps]
     else:
@@ -273,8 +295,8 @@ def _format_rows(
     ):
         values = values(None)  # memo not engaged: full finalize
     if lib is not None and n:
-        blob1, off1 = _id_blob(ids1)
-        blob2, off2 = _id_blob(ids2)
+        blob1, off1 = _id_blob(ids1, sink, 1)
+        blob2, off2 = _id_blob(ids2, sink, 2)
         max_id = int((off1[1:] - off1[:-1]).max(initial=0)) + int(
             (off2[1:] - off2[:-1]).max(initial=0)
         )

@@ -35,6 +35,16 @@ def assert_equal_alignments(a, b):
     b">lone\nACGTRMWSKYVHDBN-?\n",                   # all codes
     b">a\nACGT",                                      # no trailing newline
     b">a\n\nAC\n\nGT\n>b\nACGT\n\n",                 # blank lines
+    # header tokenization must mirror str.split(maxsplit=1): leading
+    # whitespace after '>' is skipped, the id ends at ANY ASCII
+    # whitespace, and desc keeps its trailing spaces (round-5 review
+    # finding: the native id came out '' for '> seq1 desc')
+    b"> seq1 some desc\nACGT\n>b\nTTTT\n",           # leading space
+    b">a\x0bx desc\nACGT\n>b\nTTTT\n",               # \v splits the id
+    b">\t lead\nACGT\n>b\nTTTT\n",                   # tab+space lead
+    b">  \nACGT\n>b\nTTTT\n",                        # whitespace-only hdr
+    b">id\tdesc with\ttabs  \nACGT\n>b\nTTTT\n",     # desc keeps tail ws
+    b">id \x0c x\nACGT\n>b\nTTTT\n",                 # \f in the ws run
 ])
 def test_paths_agree(data):
     py, nat = both_paths(data)

@@ -274,3 +274,71 @@ def test_async_emitter_poisoned_stays_poisoned():
     with pytest.raises(RuntimeError, match="boom"):
         em.finish()
     assert ran == []
+
+
+def test_mmap_window_preserves_appended_file(tmp_path):
+    """An O_APPEND output fd over pre-existing content: tell() is not
+    the append position, so the mmap fast path must decline (its
+    ftruncate would destroy the prior bytes) and the buffered write
+    must append correctly (round-5 review finding)."""
+    import io as _io
+
+    from distance_tpu.writer import TsvWriter, _MEMO_MIN_ROWS
+
+    rng = np.random.default_rng(5)
+    n = _MEMO_MIN_ROWS + 7
+    ids = [f"s{i}" for i in range(100)]
+    pi = rng.integers(0, 100, n).astype(np.int32)
+    pj = rng.integers(0, 100, n).astype(np.int32)
+    keys = rng.integers(0, 11, n).astype(np.int32)
+    vals = rng.random(11)[keys]
+
+    mem = _io.BytesIO()
+    wm = TsvWriter(mem)
+    wm.suppress_header()
+    wm.rows(ids, ids, pi, pj, vals, keys, 11)
+
+    p = tmp_path / "out.tsv"
+    prior = b"PRE-EXISTING CONTENT\n"
+    p.write_bytes(prior)
+    f = open(p, "ab")  # O_APPEND: tell() == 0, size == len(prior)
+    wf = TsvWriter(f)
+    wf.suppress_header()
+    wf.rows(ids, ids, pi, pj, vals, keys, 11)
+    wf.flush()
+    f.close()
+    assert p.read_bytes() == prior + mem.getvalue()
+
+
+def test_id_blob_cache_tracks_list_identity():
+    """The per-writer id-blob memo must hit on the same list object and
+    miss (recompute) when a DIFFERENT list arrives in the same slot —
+    stream groups pass a fresh ids2 list per group."""
+    import io as _io
+
+    from distance_tpu.writer import TsvWriter, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    def emit(w, ids1, ids2):
+        pi = np.zeros(1, dtype=np.int32)
+        pj = np.zeros(1, dtype=np.int32)
+        w.rows(ids1, ids2, pi, pj, np.array([1.5]))
+
+    a = ["idA", "idB"]
+    b = ["idX", "idY"]
+    mem = _io.BytesIO()
+    w = TsvWriter(mem)
+    emit(w, a, b)
+    blob_b = w._idblob[2][1]
+    emit(w, a, b)
+    assert w._idblob[2][1] is blob_b  # identity hit, no rebuild
+    b2 = ["idZ", "idW"]
+    emit(w, a, b2)
+    assert w._idblob[2][0] is b2  # replaced on a new list
+    lines = mem.getvalue().decode().splitlines()
+    assert lines[1].startswith("idA\tidX")
+    assert lines[-1].startswith("idA\tidZ")
