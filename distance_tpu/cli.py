@@ -128,37 +128,24 @@ def build_parser() -> argparse.ArgumentParser:
         description=ABOUT,
         usage=USAGE,
     )
-    # -h/--help renders the clap-4.5-shaped text (format_help above)
+    # -h/--help renders the clap-4.5-shaped text (format_help above);
+    # option help text lives ONLY in _REF_OPTS/_EXT_OPTS — per-argument
+    # help= strings here would be dead copies that drift
     p.format_help = format_help
     p.add_argument(
         "-i", "--input", nargs="*", default=None,
-        help=(
-            "One or two input alignment files in fasta format. Loaded into"
-            " memory. This flag can be omitted and the files passed as"
-            " positional arguments"
-        ),
     )
     p.add_argument("input_pos_1", nargs="?", default=None, help=argparse.SUPPRESS)
     p.add_argument("input_pos_2", nargs="?", default=None, help=argparse.SUPPRESS)
     p.add_argument(
         "-s", "--stream", default=None,
-        help=(
-            "One input alignment file in fasta format. Streamed from disk"
-            ' (or stdin using "-s -"). Requires exactly one file also be'
-            " loaded"
-        ),
     )
     p.add_argument(
         "-m", "--measure", default="raw",
         choices=["n", "n_high", "raw", "jc69", "k80", "tn93"],
-        help="Which distance measure to use",
     )
     p.add_argument(
         "-o", "--output", default=None,
-        help=(
-            "Output file in tab-separated-value format. Omit this option to"
-            " print to stdout"
-        ),
     )
     def usize(s: str) -> int:
         # clap's value_parser!(usize) rejects negatives at parse time
@@ -169,82 +156,81 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument(
         "-t", "--threads", type=usize, default=None,
-        help=(
-            "How many threads to spin up for pairwise comparisons. Omitting"
-            " this option spins up the number of available CPUs"
-        ),
     )
     p.add_argument(
         "-b", "--batchsize", type=usize, default=1,
-        help="Try setting this >(>) 1 to tune the workload per thread",
     )
     p.add_argument(
         "-l", "--licenses", action="store_true",
-        help="Print licence information and exit",
     )
     p.add_argument(
         "--backend", default="auto",
         choices=["auto", "numpy", "xla", "pallas"],
-        help="Compute backend (engine extension; default auto)",
     )
     p.add_argument(
         "--resume", action="store_true",
-        help=(
-            "Resume an interrupted run (engine extension): requires -o;"
-            " keeps a <output>.progress sidecar and continues from the"
-            " last completed strip, producing a byte-identical file"
-        ),
     )
     p.add_argument(
         "--shard", default=None, metavar="K/N",
-        help=(
-            "Multi-host sharding (engine extension): compute the K-th of"
-            " N balanced work shards (K in 0..N-1). Load-mode shard"
-            " outputs concatenate to the unsharded file; stream-mode"
-            " shards write a .units sidecar and merge via --merge"
-        ),
     )
     p.add_argument(
         "--launch", type=int, default=None, metavar="N",
-        help=(
-            "Single-command multi-process run (engine extension): spawn"
-            " N local shard workers and merge their outputs; the final"
-            " file is byte-identical to an unsharded run"
-        ),
     )
     p.add_argument(
         "--num-hosts", type=int, default=None, metavar="N",
-        help=(
-            "Multi-host run over a shared filesystem (engine extension):"
-            " total number of hosts; each host computes its shard into"
-            " <output>.partK and host 0 merges"
-        ),
     )
     p.add_argument(
         "--host-id", type=int, default=None, metavar="K",
-        help="This host's index in 0..N-1 (with --num-hosts)",
     )
     p.add_argument(
         "--coordinator", default=None, metavar="ADDR",
-        help=(
-            "jax.distributed coordinator address (host:port); derives"
-            " --num-hosts/--host-id from the runtime rendezvous and"
-            " initializes the global device mesh"
-        ),
     )
     p.add_argument(
         "--merge", nargs="+", default=None, metavar="PART",
-        help=(
-            "Merge shard part files into -o/--output (or stdout) and"
-            " exit; interleaves stream-mode parts via their .units"
-            " sidecars, concatenates load-mode parts"
-        ),
     )
     p.add_argument(
         "-V", "--version", action="version",
         version="distance-tpu 0.1.0",
     )
     return p
+
+
+# errno -> Rust std::io::ErrorKind names (sys::decode_error_kind), for
+# the Debug rendering of DistanceError::IOError (src/lib.rs:22-24).
+_ERRNO_KIND = {
+    1: "PermissionDenied",      # EPERM
+    2: "NotFound",              # ENOENT
+    4: "Interrupted",           # EINTR
+    12: "OutOfMemory",          # ENOMEM
+    13: "PermissionDenied",     # EACCES
+    17: "AlreadyExists",        # EEXIST
+    20: "NotADirectory",        # ENOTDIR
+    21: "IsADirectory",         # EISDIR
+    22: "InvalidInput",         # EINVAL
+    28: "StorageFull",          # ENOSPC
+    29: "NotSeekable",          # ESPIPE
+    30: "ReadOnlyFilesystem",   # EROFS
+    32: "BrokenPipe",           # EPIPE
+    110: "TimedOut",            # ETIMEDOUT
+}
+
+
+def _io_error_debug(e: OSError) -> str:
+    """Rust io::Error's Debug spelling for an OS error: the reference's
+    main prints `Error: IOError(Os { code: 2, kind: NotFound, message:
+    "No such file or directory" })` for a missing input file."""
+    import os as _os
+
+    code = e.errno if e.errno is not None else 0
+    kind = _ERRNO_KIND.get(code, "Uncategorized")
+    try:
+        msg = _os.strerror(code) if code else (e.strerror or str(e))
+    except (ValueError, OverflowError):
+        msg = e.strerror or str(e)
+    return (
+        f'IOError(Os {{ code: {code}, kind: {kind},'
+        f' message: "{msg}" }})'
+    )
 
 
 def main(argv=None) -> int:
@@ -264,7 +250,16 @@ def main(argv=None) -> int:
 
     enable_jit_cache()
     if args.licenses:
-        print(LICENCES)
+        # the broken-pipe / IO contracts apply here too: `distance -l |
+        # head` must exit 0 silently, ENOSPC must print the Debug line
+        try:
+            print(LICENCES)
+            sys.stdout.flush()
+        except BrokenPipeError:
+            pass
+        except OSError as e:
+            print(f"Error: {_io_error_debug(e)}", file=sys.stderr)
+            return 1
         return 0
     if args.input is not None and len(args.input) > 2:
         # clap semantics (num_args(0..=2), /root/reference/src/lib.rs:85-98):
@@ -317,7 +312,9 @@ def main(argv=None) -> int:
         try:
             setup = set_up(args)
             run(setup)
-        except DistanceError as e:
+        except BrokenPipeError:
+            raise  # silent exit 0, never a multihost failure signal
+        except (DistanceError, OSError) as e:
             if ctx is not None:
                 finish_multihost(ctx, ok=False, err=str(e))
             raise
@@ -330,6 +327,12 @@ def main(argv=None) -> int:
         return 1
     except BrokenPipeError:
         return 0
+    except OSError as e:
+        # The reference wraps io::Error via #[from] (src/lib.rs:22-24)
+        # and main Debug-prints it: Error: IOError(Os { code: 2, kind:
+        # NotFound, message: "No such file or directory" }), exit 1.
+        print(f"Error: {_io_error_debug(e)}", file=sys.stderr)
+        return 1
     return 0
 
 

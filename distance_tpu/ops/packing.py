@@ -161,10 +161,14 @@ def unpack_host_rel(
     packed: np.ndarray, rb: np.ndarray, cb: np.ndarray, cc: np.ndarray
 ) -> Optional[np.ndarray]:
     """Residual lanes + baselines -> (G, m, n) int32 counters, or None
-    if any lane saturated (caller must refetch wide)."""
-    a = packed.astype(np.int32)
+    if any lane saturated (caller must refetch wide).
+
+    The saturation scan runs BEFORE the int32 widening: a saturated
+    strip (the case this function exists to detect) must not pay a
+    4x-size allocation it immediately discards."""
     if (packed == REL_SAT).any():
         return None
+    a = packed.astype(np.int32)
     return a + rb[:, :, None] + cb[:, None, :] - cc[:, None, None]
 
 

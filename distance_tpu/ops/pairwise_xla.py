@@ -42,12 +42,16 @@ def counters_xla(
     prefer = jnp.int32 if dtype == jnp.int8 else jnp.float32
     if prefer == jnp.float32:
         # Float accumulation is exact only while every partial sum stays
-        # below 2^24 (products are in {-1, 0, 1}; a counter's magnitude
-        # is bounded by channels * L).  The int8/int32 path has no bound.
-        if plan.max_group_channels * x_codes.shape[1] >= 1 << 24:
+        # below 2^24 (products are in {-1, 0, 1}).  Shared-channel (mix)
+        # plans cast each SINGLE-channel GEMM to int32 before the
+        # integer mix (contract_features), so their bound is 1 x L;
+        # per-counter plans fold a group's channels into one GEMM, so
+        # theirs is max_group_channels x L.  int8/int32 has no bound.
+        per_gemm = 1 if plan.mix_num is not None else plan.max_group_channels
+        if per_gemm * x_codes.shape[1] >= 1 << 24:
             raise ValueError(
                 "float accumulation would lose integer exactness for "
-                f"width {x_codes.shape[1]} x {plan.max_group_channels}"
+                f"width {x_codes.shape[1]} x {per_gemm}"
                 " channels; use the default int8 dtype"
             )
     fx = features_device(x_codes, plan, "f", jnp, dtype)  # (R, m, L)

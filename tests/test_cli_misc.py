@@ -87,3 +87,43 @@ def test_input_flag_three_files_is_positional_conflict(tmp_path):
     r = run_cli(["-i", p, p, p, p, p])
     assert r.returncode == 2
     assert b"unexpected argument" in r.stderr
+
+
+def test_missing_input_file_prints_ioerror_debug():
+    """A nonexistent input must print the reference's Debug-rendered
+    IOError line (io::Error via #[from], src/lib.rs:22-24; main prints
+    `Error: <Debug>` and exits 1) — not a Python traceback."""
+    r = run_cli(["definitely_not_here.fasta"])
+    assert r.returncode == 1
+    assert r.stderr.strip() == (
+        b'Error: IOError(Os { code: 2, kind: NotFound,'
+        b' message: "No such file or directory" })'
+    )
+    assert b"Traceback" not in r.stderr
+    # streamed-side path too
+    r = run_cli(["-s", "also_missing.fasta"])
+    assert r.returncode == 1
+    # (-s without a loaded file errors first; with one, the open fails)
+
+
+def test_missing_stream_file_ioerror(tmp_path):
+    f = tmp_path / "a.fasta"
+    f.write_bytes(b">a\nACGT\n>b\nACGA\n")
+    r = run_cli(["-i", str(f), "-s", str(tmp_path / "nope.fasta")])
+    assert r.returncode == 1
+    assert b"Error: IOError(Os { code: 2, kind: NotFound" in r.stderr
+    assert b"Traceback" not in r.stderr
+
+
+def test_licenses_broken_pipe_exits_zero():
+    """`distance -l | head -c1`-style closed stdout must exit 0
+    silently, like every other output path."""
+    p = subprocess.Popen(
+        [sys.executable, "-m", "distance_tpu.cli", "-l"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+    )
+    p.stdout.read(8)
+    p.stdout.close()
+    p.wait(timeout=60)
+    assert p.returncode == 0
+    assert b"Traceback" not in p.stderr.read()
