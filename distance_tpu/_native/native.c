@@ -58,6 +58,15 @@ void dt_finalize_k80(const int32_t *same, const int32_t *ts,
 /* tn93 closed form for one pair, measures.rs:116-193.  Counter inputs:
  * same/kk/p1/p2; q/t are the two records' (A,T,G,C) tallies.
  * kk == count_L; count_d = kk - same. */
+
+/* ASCII characters str.split() treats as whitespace (header
+ * tokenization parity with the Python parser): space, \t, \v, \f,
+ * \r, and the separator controls 0x1c-0x1f. */
+static inline int dt_hdr_ws(uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\v' || c == '\f' ||
+           c == '\r' || (c >= 0x1c && c <= 0x1f);
+}
+
 static inline double tn93_one(int32_t same, int32_t kk, int32_t p1c,
                               int32_t p2c, const int32_t *q,
                               const int32_t *t) {
@@ -377,15 +386,10 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
              * LEADING ASCII whitespace after '>' (">  seq1" has id
              * "seq1", not ""), then the token runs to the next
              * whitespace (space, tab, \v, \f, \r) or EOL */
-            while (i < len && data[i] != '\n' &&
-                   (data[i] == ' ' || data[i] == '\t' ||
-                    data[i] == '\v' || data[i] == '\f' ||
-                    data[i] == '\r'))
+            while (i < len && data[i] != '\n' && dt_hdr_ws(data[i]))
                 i++;
             int64_t start = i;
-            while (i < len && data[i] != '\n' && data[i] != '\r' &&
-                   data[i] != ' ' && data[i] != '\t' &&
-                   data[i] != '\v' && data[i] != '\f')
+            while (i < len && data[i] != '\n' && !dt_hdr_ws(data[i]))
                 i++;
             if (id_w + (i - start) > ids_cap) return 4;
             memcpy(ids + id_w, data + start, i - start);
@@ -394,10 +398,7 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
             /* skip the separating whitespace run, then description till
              * EOL; only the EOL's trailing \r is trimmed (Python keeps
              * trailing spaces/tabs in the description verbatim) */
-            while (i < len && data[i] != '\n' &&
-                   (data[i] == ' ' || data[i] == '\t' ||
-                    data[i] == '\v' || data[i] == '\f' ||
-                    data[i] == '\r'))
+            while (i < len && data[i] != '\n' && dt_hdr_ws(data[i]))
                 i++;
             start = i;
             while (i < len && data[i] != '\n') i++;

@@ -314,9 +314,12 @@ def main(argv=None) -> int:
             run(setup)
         except BrokenPipeError:
             raise  # silent exit 0, never a multihost failure signal
-        except (DistanceError, OSError) as e:
+        except BaseException as e:
+            # ANY failure (incl. KeyboardInterrupt or an unexpected
+            # exception) must publish this host's failure marker, or
+            # host 0 waits for it forever
             if ctx is not None:
-                finish_multihost(ctx, ok=False, err=str(e))
+                finish_multihost(ctx, ok=False, err=str(e) or type(e).__name__)
             raise
         if ctx is not None:
             finish_multihost(ctx, ok=True)

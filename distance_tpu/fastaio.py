@@ -275,15 +275,19 @@ def _load_fasta_native(data: bytes) -> Optional[Alignment]:
         return None
     import ctypes
 
-    width = _first_record_width(data)
-    if width is None:
-        raise DistanceError(_err_empty_fasta())
-    arr = np.frombuffer(data, dtype=np.uint8)
-    # cheap upper bound on record count ('>' anywhere)
+    # cheap upper bound on record count ('>' anywhere).  Checked BEFORE
+    # the width probe: with no '>' at all the probe returns None too,
+    # and raising Empty FASTA here would shadow the Python path's
+    # precise "Expected '>' at FASTA record start" for junk input
+    # (the error must not depend on file size / native availability)
     max_records = data.count(b">")
     if max_records == 0:
         # junk or whitespace only — let the Python path raise precisely
         return _load_fasta_python(data)
+    width = _first_record_width(data)
+    if width is None:
+        raise DistanceError(_err_empty_fasta())
+    arr = np.frombuffer(data, dtype=np.uint8)
 
     matrix = np.zeros((max_records, width), dtype=np.uint8)
     # header blobs are tiny relative to sequence data; if a pathological
@@ -640,27 +644,35 @@ def _stream_records_native(
     pend = collections.deque()
     ex = ThreadPoolExecutor(workers)
     try:
-        try:
-            for data in _read_pieces(handle):
-                pend.append(
-                    ex.submit(_parse_piece, data, width, want_tallies)
-                )
-                # bounded lookahead: ~(workers + 2) pieces in flight
-                while len(pend) > workers + 2:
+        reader = _read_pieces(handle)
+        while True:
+            try:
+                data = next(reader)
+            except StopIteration:
+                break
+            except Exception:
+                # READER failure mid-stream (handle.read raised): every
+                # piece fully read BEFORE it must still be yielded first
+                # (serial-path semantics — the serial loop emits each
+                # piece synchronously before the next read).  If a
+                # drained piece itself holds a bad record, its ordered
+                # DistanceError wins, as it would serially.  Only the
+                # reader is guarded: an emit-side DistanceError must NOT
+                # drain later pieces (records after the bad one are
+                # never yielded on the serial path either).
+                while pend:
                     yield from _emit_piece(
                         pend.popleft().result(), width, want_tallies
                     )
-        except Exception:
-            # Reader failure mid-stream: every piece fully read BEFORE
-            # it must still be yielded first (serial-path semantics —
-            # the serial loop emits each piece synchronously before the
-            # next read).  If a drained piece itself holds a bad record,
-            # its ordered DistanceError wins, as it would serially.
-            while pend:
+                raise
+            pend.append(
+                ex.submit(_parse_piece, data, width, want_tallies)
+            )
+            # bounded lookahead: ~(workers + 2) pieces in flight
+            while len(pend) > workers + 2:
                 yield from _emit_piece(
                     pend.popleft().result(), width, want_tallies
                 )
-            raise
         while pend:
             yield from _emit_piece(
                 pend.popleft().result(), width, want_tallies

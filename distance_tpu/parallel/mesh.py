@@ -20,12 +20,11 @@ integers, and emission order is fixed by the host-side sweep.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
-from distance_tpu.ops.features import CounterPlan, get_plan
+from distance_tpu.ops.features import get_plan
 
 
 def make_mesh(n_devices: Optional[int] = None, sp: int = 1):

@@ -202,6 +202,16 @@ def launch(args) -> int:
         part_paths = [os.path.join(part_dir, f"part{k}") for k in range(n)]
         out = sys.stdout.buffer
 
+    # stale sidecars from an earlier (e.g. failed stream-mode) run at
+    # the same -o path would make merge_parts misread a fresh load-mode
+    # part by the OLD unit byte ranges — clear them before spawning
+    for p in part_paths:
+        for stale in (p, p + ".units"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+
     procs = [
         subprocess.Popen(_worker_argv(args, k, n, part_paths[k]))
         for k in range(n)
@@ -230,6 +240,8 @@ def launch(args) -> int:
                 failed.append(k)
             elif not failed:
                 reorder.add(k, k)
+        if failed:
+            break  # don't wait hours for stragglers a failure voids
         time.sleep(0.02)
 
     if failed:
@@ -242,6 +254,19 @@ def launch(args) -> int:
             out.close()
             try:  # no partial merged output on failure
                 os.remove(args.output)
+            except OSError:
+                pass
+        # no stale parts/sidecars either: a later run at the same -o
+        # must not see this run's leftovers (they corrupt merges)
+        for pp in part_paths:
+            for stale in (pp, pp + ".units"):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
+        if part_dir is not None:
+            try:
+                os.rmdir(part_dir)
             except OSError:
                 pass
         raise DistanceError(
@@ -282,10 +307,48 @@ class MultihostCtx:
     final_output: Optional[str]  # None = stdout on host 0
     part_paths: List[str]
     used_coordinator: bool = False
+    # shared-config fingerprint stamped into .done markers: a marker
+    # from an earlier run with a different config is treated as absent
+    # instead of merged (stale-marker corruption guard)
+    fp: str = ""
 
 
 MERGE_POLL_S = 0.05
 MERGE_TIMEOUT_S = float(os.environ.get("DISTANCE_TPU_MERGE_TIMEOUT", 0))
+# progress note cadence while host 0 waits for peer markers (a peer
+# killed hard never writes one; the wait must be visible, not silent)
+MERGE_NOTE_S = 30.0
+
+
+def _run_fingerprint(args, num_hosts: int) -> str:
+    """Config fingerprint shared by every host of one logical run.
+
+    Built only from inputs all hosts agree on via the shared filesystem
+    (measure, host count, input basenames + sizes — NOT mtimes, which
+    some shared filesystems skew): a .done marker stamped with a
+    different fingerprint belongs to some earlier run and is ignored.
+    """
+    import hashlib
+
+    paths = []
+    for p in (getattr(args, "input", None) or []):
+        paths.append(p)
+    for p in (getattr(args, "input_pos_1", None),
+              getattr(args, "input_pos_2", None),
+              getattr(args, "stream", None)):
+        if p is not None:
+            paths.append(p)
+    h = hashlib.sha256()
+    h.update(f"{num_hosts}|{getattr(args, 'measure', '')}".encode())
+    for p in paths:
+        if p == "-":
+            continue
+        try:
+            size = os.stat(p).st_size
+        except OSError:
+            size = -1
+        h.update(f"|{os.path.basename(str(p))}:{size}".encode())
+    return h.hexdigest()[:16]
 
 
 def resolve_multihost(args) -> Optional[MultihostCtx]:
@@ -354,12 +417,23 @@ def resolve_multihost(args) -> Optional[MultihostCtx]:
     part_paths = [f"{base}.part{k}" for k in range(num_hosts)]
     args.shard = f"{host_id}/{num_hosts}"
     args.output = part_paths[host_id]
+    # clear THIS host's leftovers from any earlier run at the same
+    # path: a stale .done marker would let host 0 merge this host's
+    # part while it is still being written, and a stale .units sidecar
+    # would index the new part by old byte ranges
+    mine = part_paths[host_id]
+    for stale in (mine + ".done", mine + ".units"):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
     return MultihostCtx(
         host_id=host_id,
         num_hosts=num_hosts,
         final_output=final_output,
         part_paths=part_paths,
         used_coordinator=used_coordinator,
+        fp=_run_fingerprint(args, num_hosts),
     )
 
 
@@ -385,7 +459,7 @@ def finish_multihost(ctx: MultihostCtx, ok: bool, err: str = "") -> None:
     """
     marker = ctx.part_paths[ctx.host_id] + ".done"
     with open(marker + ".tmp", "w") as f:
-        f.write("ok" if ok else f"err {err}")
+        f.write(f"{ctx.fp}\n" + ("ok" if ok else f"err {err}"))
     os.replace(marker + ".tmp", marker)
 
     error: Optional[DistanceError] = None
@@ -400,20 +474,49 @@ def finish_multihost(ctx: MultihostCtx, ok: bool, err: str = "") -> None:
         raise error
 
 
+def _read_marker(path: str, fp: str) -> Optional[str]:
+    """The marker's status line, or None if absent / from another run
+    (fingerprint mismatch — a stale file must not gate the merge)."""
+    try:
+        with open(path) as f:
+            content = f.read()
+    except OSError:
+        return None
+    head, _, status = content.partition("\n")
+    if head != fp:
+        return None  # stale marker from a different configuration
+    return status
+
+
 def _merge_when_ready(ctx: MultihostCtx) -> None:
     markers = [p + ".done" for p in ctx.part_paths]
     t0 = time.monotonic()
-    while not all(os.path.exists(m) for m in markers):
-        if MERGE_TIMEOUT_S and time.monotonic() - t0 > MERGE_TIMEOUT_S:
+    last_note = t0
+    while True:
+        statuses = [_read_marker(m, ctx.fp) for m in markers]
+        if all(s is not None for s in statuses):
+            break
+        now = time.monotonic()
+        if MERGE_TIMEOUT_S and now - t0 > MERGE_TIMEOUT_S:
             raise DistanceError(
                 "timed out waiting for host part files"
-                f" ({[m for m in markers if not os.path.exists(m)]})"
+                f" ({[m for m, s in zip(markers, statuses) if s is None]})"
+            )
+        if now - last_note >= MERGE_NOTE_S:
+            last_note = now
+            pending = [
+                k for k, s in enumerate(statuses) if s is None
+            ]
+            print(
+                f"[distance-tpu] host 0 waiting for host(s) {pending}"
+                f" ({now - t0:.0f}s; a host killed without writing its"
+                " .done marker waits forever — set"
+                " DISTANCE_TPU_MERGE_TIMEOUT to bound this)",
+                file=sys.stderr,
             )
         time.sleep(MERGE_POLL_S)
     errs = []
-    for k, m in enumerate(markers):
-        with open(m) as f:
-            status = f.read()
+    for k, status in enumerate(statuses):
         if status != "ok":
             errs.append(f"host {k}: {status}")
     if errs:

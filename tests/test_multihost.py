@@ -290,3 +290,78 @@ def test_worker_failure_removes_partial_output(tmp_path):
     r = cli([str(a), "--backend", "numpy", "--launch", "2", "-o", str(o)])
     assert r.returncode == 1
     assert not o.exists()
+
+
+def test_worker_failure_removes_parts_and_sidecars(tmp_path):
+    """--launch failure must not leave partK/.units leftovers: a later
+    run at the same -o would misread a fresh load-mode part through a
+    stale stream-mode unit index (round-5 review finding)."""
+    a = tmp_path / "bad.fasta"
+    a.write_bytes(b">x\nACGT\n>y\nACG!\n")
+    o = tmp_path / "o.tsv"
+    # plant a stale sidecar from a hypothetical earlier stream run
+    (tmp_path / "o.tsv.part0.units").write_text('{"preamble": 99}')
+    r = cli([str(a), "--backend", "numpy", "--launch", "2", "-o", str(o)])
+    assert r.returncode == 1
+    assert not o.exists()
+    assert not list(tmp_path.glob("o.tsv.part*"))
+
+
+def test_stale_done_marker_is_ignored(tmp_path, fastas):
+    """A .done marker from an earlier run (different fingerprint) at the
+    same -o path must not gate or corrupt the merge: host 0 waits for a
+    CURRENT marker instead of merging a stale/mid-write part."""
+    f1, _ = fastas
+    a, _b = write_inputs(tmp_path, fastas)
+    o = tmp_path / "out.tsv"
+    # stale markers in the OLD (no-fingerprint) and wrong-fp formats
+    (tmp_path / "out.tsv.part0.done").write_text("ok")
+    (tmp_path / "out.tsv.part1.done").write_text("deadbeef\nok")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "distance_tpu.cli", str(a), "-m", "raw",
+             "--backend", "numpy", "--num-hosts", "2", "--host-id", str(k),
+             "-o", str(o)],
+            stderr=subprocess.PIPE,
+        )
+        for k in range(2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0, p.stderr.read()
+    assert o.read_bytes() == expected_square("raw", f1)
+    assert not list(tmp_path.glob("out.tsv.part*"))
+
+
+def test_unexpected_worker_exception_writes_failure_marker(
+    tmp_path, fastas, monkeypatch
+):
+    """ANY host failure (not just DistanceError/OSError) must publish
+    the failure marker, or host 0 waits for it forever."""
+    import distance_tpu.cli as cli_mod
+    from distance_tpu.parallel.multihost import resolve_multihost
+
+    a, _b = write_inputs(tmp_path, fastas)
+
+    class Args:
+        pass
+
+    args = Args()
+    args.input = None
+    args.input_pos_1 = str(a)
+    args.input_pos_2 = None
+    args.stream = None
+    args.measure = "raw"
+    args.output = str(tmp_path / "o.tsv")
+    args.num_hosts = 2
+    args.host_id = 1
+    args.coordinator = None
+    args.shard = None
+    ctx = resolve_multihost(args)
+    assert ctx is not None
+    from distance_tpu.parallel.multihost import finish_multihost
+
+    finish_multihost(ctx, ok=False, err="RuntimeError boom")
+    marker = tmp_path / "o.tsv.part1.done"
+    content = marker.read_text().split("\n")
+    assert content[0] == ctx.fp
+    assert content[1].startswith("err RuntimeError boom")

@@ -45,6 +45,8 @@ def assert_equal_alignments(a, b):
     b">  \nACGT\n>b\nTTTT\n",                        # whitespace-only hdr
     b">id\tdesc with\ttabs  \nACGT\n>b\nTTTT\n",     # desc keeps tail ws
     b">id \x0c x\nACGT\n>b\nTTTT\n",                 # \f in the ws run
+    b">id\x1cdesc\nACGT\n>b\nTTTT\n",                # \x1c splits the id
+    b">a\x1e b\x1fc\nACGT\n>b\nTTTT\n",              # 0x1c-0x1f are ws
 ])
 def test_paths_agree(data):
     py, nat = both_paths(data)
@@ -183,3 +185,46 @@ def test_parallel_stream_parse_reader_failure_drains_parsed(
     # _read_pieces' final carry surfaces; parallel must match exactly
     assert len(ser) >= 50
     assert par == ser
+
+
+@needs_native
+def test_parallel_parse_error_yields_no_later_records(rng, monkeypatch):
+    """A bad record in an EARLY piece: records from LATER pieces must
+    never be yielded (the serial path stops at the bad record; the
+    reader-failure drain must not apply to emit-side errors)."""
+    from tests.conftest import make_fasta, random_seqs
+
+    head = random_seqs(rng, 3, 64, amb_frac=0.2)
+    tail = [(f"g{i}", s) for i, (_r, s) in
+            enumerate(random_seqs(rng, 40, 64, amb_frac=0.2))]
+    data = (
+        make_fasta(head)
+        + b">bad\n" + b"Z" * 64 + b"\n"
+        + make_fasta(tail)
+    )
+    monkeypatch.setattr(fio, "STREAM_READ_BYTES", 128)
+
+    def drive(workers: str) -> list:
+        monkeypatch.setenv("DISTANCE_TPU_STREAM_PARSE_WORKERS", workers)
+        seen = []
+        with pytest.raises(DistanceError, match="record 'bad'"):
+            for rid, _m, _t in fio._stream_records_native(
+                io.BytesIO(data), 64, False
+            ):
+                seen.append(rid)
+        return seen
+
+    ser = drive("1")
+    par = drive("4")
+    assert par == ser
+    assert not any(r.startswith("g") for r in par), par
+
+
+@needs_native
+def test_native_junk_file_error_matches_python():
+    """A file with no '>' at all must raise the same precise error on
+    the native path as the Python path (it raised Empty FASTA before)."""
+    junk = b"this is not fasta\nat all\n"
+    for fn in (fio._load_fasta_python, fio._load_fasta_native):
+        with pytest.raises(DistanceError, match="Expected '>'"):
+            fn(junk)
