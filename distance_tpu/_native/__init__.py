@@ -110,8 +110,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.dt_diff_fill.restype = i64
     lib.dt_parse_fasta_fill.argtypes = [
         p_u8, i64, i64, i64, p_u8,          # data, len, width, max_recs, enc
-        p_u8, ctypes.c_char_p, i64, p_i64,  # matrix, ids, ids_cap, id_offs
-        ctypes.c_char_p, i64, p_i64,        # descs, descs_cap, desc_offs
+        p_u8, ctypes.c_void_p, i64, p_i64,  # matrix, ids, ids_cap, id_offs
+        ctypes.c_void_p, i64, p_i64,        # descs, descs_cap, desc_offs
         p_i64, p_i64, p_i64, p_i64,         # n_out, err_a, err_b, tallies
     ]
     lib.dt_parse_fasta_fill.restype = ctypes.c_int

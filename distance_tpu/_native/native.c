@@ -21,6 +21,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 /* ------------------------------------------------------------------ */
 /* Exact finalization helpers                                          */
 /* ------------------------------------------------------------------ */
@@ -352,6 +356,115 @@ int64_t dt_format_rows_pre(const char *ids1, const int64_t *off1,
  * reference's streamed tn93 quirk (its streamed encoder tallies chars,
  * not codes, /root/reference/src/fastaio.rs:124-142).  NULL skips.
  */
+/* Encode one whole sequence-line segment (no width overflow possible —
+ * the caller checked col + seg <= width).  Writes Paradis codes to dst,
+ * optionally tallies raw upper-case 'A','T','G','C' bytes (the
+ * reference's streamed tn93 quirk), and returns nonzero iff ANY byte
+ * encoded to 0 (invalid nucleotide) — the caller locates the exact
+ * first offender with a cold scalar rescan, so error parity with the
+ * careful loop is byte-identical.  On x86 the letter mapping runs as a
+ * two-table vpshufb nibble LUT (case bit cleared first; '-' and '?'
+ * blend in by direct compare), 32 bytes/iteration. */
+static int dt_encode_seg(const uint8_t *src, uint8_t *dst, int64_t seg,
+                         const uint8_t *enc_table, int64_t *tly) {
+    int64_t p = 0;
+    int any_zero = 0;
+#if defined(__AVX2__)
+    if (seg >= 32) {
+        /* letter LUTs from the live table (uppercase rows; the case
+         * bit is cleared before lookup and lower case encodes
+         * identically — encoding.py pins that): lut0[k] =
+         * enc('@'+k) for k in 0..15, lut1[k] = enc('P'+k) for k in
+         * 0..9 ('Z'..'_' rows are 0). */
+        uint8_t l0[16], l1[16];
+        for (int k = 0; k < 16; k++) {
+            l0[k] = enc_table[0x40 + k];
+            l1[k] = (k < 10) ? enc_table[0x50 + k] : 0;
+        }
+        const __m256i lut0 = _mm256_broadcastsi128_si256(
+            _mm_loadu_si128((const __m128i *)l0));
+        const __m256i lut1 = _mm256_broadcastsi128_si256(
+            _mm_loadu_si128((const __m128i *)l1));
+        const __m256i case_mask = _mm256_set1_epi8((char)0xDF);
+        const __m256i c40 = _mm256_set1_epi8(0x40);
+        const __m256i c0f = _mm256_set1_epi8(0x0F);
+        const __m256i c10 = _mm256_set1_epi8(0x10);
+        const __m256i c09 = _mm256_set1_epi8(0x09);
+        const __m256i dash = _mm256_set1_epi8('-');
+        const __m256i qmark = _mm256_set1_epi8('?');
+        const __m256i dash_code =
+            _mm256_set1_epi8((char)enc_table[(unsigned char)'-']);
+        const __m256i q_code =
+            _mm256_set1_epi8((char)enc_table[(unsigned char)'?']);
+        const __m256i zero = _mm256_setzero_si256();
+        __m256i seen_zero = _mm256_setzero_si256();
+        for (; p + 32 <= seg; p += 32) {
+            const __m256i v =
+                _mm256_loadu_si256((const __m256i *)(src + p));
+            const __m256i u = _mm256_and_si256(v, case_mask);
+            const __m256i idx = _mm256_sub_epi8(u, c40);
+            /* idx in 0..15 -> lut0; MSB-poison every other byte so
+             * vpshufb returns 0 (selector MSB set => 0).  cmpgt is
+             * signed: idx >= 0x80 already has its MSB. */
+            const __m256i s0 =
+                _mm256_or_si256(idx, _mm256_cmpgt_epi8(idx, c0f));
+            const __m256i t0 = _mm256_shuffle_epi8(lut0, s0);
+            /* idx in 16..25 -> lut1 via idx-16 (wraps below 0x10 to
+             * >= 0xF0, MSB set) */
+            const __m256i i1 = _mm256_sub_epi8(idx, c10);
+            const __m256i s1 =
+                _mm256_or_si256(i1, _mm256_cmpgt_epi8(i1, c09));
+            const __m256i t1 = _mm256_shuffle_epi8(lut1, s1);
+            __m256i code = _mm256_or_si256(t0, t1);
+            code = _mm256_or_si256(
+                code, _mm256_and_si256(_mm256_cmpeq_epi8(v, dash),
+                                       dash_code));
+            code = _mm256_or_si256(
+                code, _mm256_and_si256(_mm256_cmpeq_epi8(v, qmark),
+                                       q_code));
+            _mm256_storeu_si256((__m256i *)(dst + p), code);
+            seen_zero = _mm256_or_si256(
+                seen_zero, _mm256_cmpeq_epi8(code, zero));
+            if (tly) {
+                tly[0] += __builtin_popcount((unsigned)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(v, _mm256_set1_epi8('A'))));
+                tly[1] += __builtin_popcount((unsigned)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(v, _mm256_set1_epi8('T'))));
+                tly[2] += __builtin_popcount((unsigned)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(v, _mm256_set1_epi8('G'))));
+                tly[3] += __builtin_popcount((unsigned)_mm256_movemask_epi8(
+                    _mm256_cmpeq_epi8(v, _mm256_set1_epi8('C'))));
+            }
+        }
+        any_zero = (_mm256_movemask_epi8(seen_zero) != 0);
+    }
+#endif
+    if (tly) {
+        int64_t ta = 0, tt = 0, tg = 0, tc = 0;
+        for (; p < seg; p++) {
+            uint8_t ch = src[p];
+            uint8_t code = enc_table[ch];
+            dst[p] = code;
+            any_zero |= (code == 0);
+            ta += (ch == 'A');
+            tt += (ch == 'T');
+            tg += (ch == 'G');
+            tc += (ch == 'C');
+        }
+        tly[0] += ta;
+        tly[1] += tt;
+        tly[2] += tg;
+        tly[3] += tc;
+    } else {
+        for (; p < seg; p++) {
+            uint8_t code = enc_table[src[p]];
+            dst[p] = code;
+            any_zero |= (code == 0);
+        }
+    }
+    return any_zero;
+}
+
 int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
                         int64_t max_records, const uint8_t *enc_table,
                         uint8_t *matrix, char *ids, int64_t ids_cap,
@@ -413,9 +526,9 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
         } else {
             /* sequence (or blank/junk) line */
             int64_t start = i;
-            while (i < len && data[i] != '\n') i++;
-            int64_t end = i;
-            if (i < len) i++; /* consume newline */
+            const uint8_t *nl = memchr(data + i, '\n', (size_t)(len - i));
+            int64_t end = nl ? (int64_t)(nl - data) : len;
+            i = nl ? end + 1 : len; /* consume newline */
             /* trim trailing whitespace only (rust-bio trim_end) */
             while (end > start &&
                    (data[end - 1] == '\r' || data[end - 1] == ' ' ||
@@ -429,6 +542,35 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
             }
             uint8_t *row = matrix + rec * width;
             int64_t *tly = tallies ? tallies + rec * 4 : NULL;
+            int64_t seg = end - start;
+            if (col + seg <= width) {
+                /* fast path (whole line fits): branchless LUT map.  An
+                 * invalid byte encodes to 0; the loop only accumulates a
+                 * flag, and the exact first offender (byte + position
+                 * parity with the careful loop below) is located by a
+                 * cold rescan.  On error the row holds garbage past the
+                 * offender — contractually fine: "partial fills are
+                 * valid up to the FAILING record", and every caller
+                 * discards the failing record (replay/raise). */
+                const uint8_t *src = data + start;
+                uint8_t *dst = row + col;
+                if (dt_encode_seg(src, dst, seg, enc_table, tly)) {
+                    for (int64_t p = 0; p < seg; p++) {
+                        if (enc_table[src[p]] == 0) {
+                            *n_out = rec + 1;
+                            *err_a = rec;
+                            *err_b = src[p];
+                            return 1;
+                        }
+                    }
+                }
+                col += seg;
+                continue;
+            }
+            /* careful path: the line overflows `width` (ragged record —
+             * keep counting so the error reports the full seen length,
+             * like the Python path; an invalid byte still wins if it
+             * comes first, code check before the width check) */
             for (int64_t p = start; p < end; p++) {
                 uint8_t code = enc_table[data[p]];
                 if (code == 0) {
@@ -445,9 +587,6 @@ int dt_parse_fasta_fill(const uint8_t *data, int64_t len, int64_t width,
                     else if (ch == 'C') tly[3]++;
                 }
                 if (col >= width) {
-                    /* longer than expected: keep counting so the ragged
-                     * error reports the record's full length, like the
-                     * Python path */
                     col++;
                     continue;
                 }

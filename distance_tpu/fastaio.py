@@ -289,7 +289,9 @@ def _load_fasta_native(data: bytes) -> Optional[Alignment]:
         raise DistanceError(_err_empty_fasta())
     arr = np.frombuffer(data, dtype=np.uint8)
 
-    matrix = np.zeros((max_records, width), dtype=np.uint8)
+    # np.empty: every reported record's row is fully written (col==width
+    # enforced) and error paths discard the matrix
+    matrix = np.empty((max_records, width), dtype=np.uint8)
     # header blobs are tiny relative to sequence data; if a pathological
     # input overflows these, rc=4 falls back to the Python path
     ids_cap = min(len(data), max(4096, max_records * 128))
@@ -428,7 +430,8 @@ def stream_fasta(
         if get_lib() is not None:
             yield from _stream_fasta_batches(
                 _stream_records_native(
-                    handle, width, want_tallies=(measure == "tn93")
+                    handle, width, want_tallies=(measure == "tn93"),
+                    batch_rows=batchsize,
                 ),
                 width, batchsize,
             )
@@ -475,6 +478,63 @@ STREAM_READ_BYTES = int(
 )
 
 
+def _assemble_rows(rows: List[np.ndarray], width: int) -> np.ndarray:
+    """Batch matrix from per-record rows, exploiting that native-parse
+    rows are consecutive views into one C-contiguous piece matrix: runs
+    copy as single slices, and a batch that is exactly one run returns a
+    zero-copy view (safe: batch matrices are read-only downstream — the
+    engine copies them into its padded upload buffer).  Replaces the
+    per-row np.vstack that was ~half the stream-parse pipeline's time."""
+    n = len(rows)
+    if n == 0:
+        return np.zeros((0, width), np.uint8)
+    runs: List[tuple] = []  # (base, i0, count) | (None, rows-index, 1)
+    k = 0
+    while k < n:
+        r = rows[k]
+        base = r.base
+        if (
+            isinstance(base, np.ndarray)
+            and base.ndim == 2
+            and base.dtype == np.uint8
+            and base.flags.c_contiguous
+            and base.shape[1] == width
+            and r.ndim == 1
+        ):
+            p0 = r.__array_interface__["data"][0]
+            b0 = base.__array_interface__["data"][0]
+            off = p0 - b0
+            if off % width == 0:
+                i0 = off // width
+                j = k + 1
+                nxt = p0 + width
+                while (
+                    j < n
+                    and rows[j].base is base
+                    and rows[j].__array_interface__["data"][0] == nxt
+                ):
+                    j += 1
+                    nxt += width
+                runs.append((base, i0, j - k))
+                k = j
+                continue
+        runs.append((None, k, 1))
+        k += 1
+    if len(runs) == 1 and runs[0][0] is not None:
+        base, i0, cnt = runs[0]
+        return base[i0:i0 + cnt]
+    out = np.empty((n, width), np.uint8)
+    w = 0
+    for base, a, cnt in runs:
+        if base is None:
+            out[w] = rows[a]
+            w += 1
+        else:
+            out[w:w + cnt] = base[a:a + cnt]
+            w += cnt
+    return out
+
+
 def _stream_fasta_batches(
     records: Iterator[tuple], width: int, batchsize: int
 ) -> Iterator[StreamBatch]:
@@ -489,8 +549,7 @@ def _stream_fasta_batches(
     def flush(i: int) -> StreamBatch:
         return StreamBatch(
             ids=list(ids),
-            matrix=np.vstack(rows) if rows
-            else np.zeros((0, width), np.uint8),
+            matrix=_assemble_rows(rows, width),
             base_counts=(
                 np.vstack(counts).astype(np.int32) if counts else None
             ),
@@ -524,31 +583,100 @@ def _stream_parse_workers() -> int:
     return max(1, min(4, (_os.cpu_count() or 1) - 1))
 
 
-def _read_pieces(handle: BinaryIO) -> Iterator[bytes]:
-    """~STREAM_READ_BYTES pieces of the stream, each cut at the last
-    record boundary so every piece holds whole records."""
-    carry = b""
+# Hard cap on one piece's size while waiting for a batch-aligned record
+# count; past it the cut falls back to the last record boundary.
+STREAM_PIECE_CAP = int(
+    _os.environ.get("DISTANCE_TPU_STREAM_PIECE_CAP", 64 << 20)
+)
+
+
+def _read_pieces(handle: BinaryIO, batch_rows: int = 0) -> Iterator[bytes]:
+    """Pieces of the stream, each cut at a record boundary so every
+    piece holds whole records.
+
+    With ``batch_rows == 0``: ~STREAM_READ_BYTES pieces cut at the last
+    record boundary (legacy shape).  With ``batch_rows > 0``: each piece
+    holds an exact MULTIPLE of ``batch_rows`` records whenever that
+    multiple arrives under STREAM_PIECE_CAP — downstream StreamBatch
+    matrices then assemble as zero-copy slices of one parsed piece
+    (``_assemble_rows``) instead of paying a second full copy of the
+    stream.  Record starts are counted as '>' at the piece head or after
+    a newline, exactly the boundaries the legacy rfind(b"\\n>") cut
+    used, so piece-content semantics (incl. leading-junk and mid-stream
+    error replay) are unchanged — only the cut positions move."""
+    carry: List[bytes] = []
     eof = False
     while not eof:
-        data = carry
-        carry = b""
-        # grow until the buffer holds at least one complete record
+        parts: List[bytes] = []
+        offs: List[int] = []   # global start offset of each part
+        size = 0
+        cuts: List[int] = []   # global offsets where a record starts
+        prev_last = b""
+
+        def absorb(chunk: bytes) -> None:
+            nonlocal size, prev_last
+            base = size
+            if chunk[:1] == b">" and (base == 0 or prev_last == b"\n"):
+                cuts.append(base)
+            pos = chunk.find(b"\n>")
+            while pos >= 0:
+                cuts.append(base + pos + 1)
+                pos = chunk.find(b"\n>", pos + 1)
+            parts.append(chunk)
+            offs.append(base)
+            size = base + len(chunk)
+            prev_last = chunk[-1:]
+
+        for c in carry:
+            absorb(c)
+        carry = []
+        cut_at = -1
+        n_rec = 0
         while True:
+            nstarts = len(cuts)
+            if batch_rows > 0 and nstarts >= batch_rows + 1:
+                m = ((nstarts - 1) // batch_rows) * batch_rows
+                if m >= batch_rows:
+                    cut_at = cuts[m]
+                    n_rec = m
+                    break
+            threshold = (
+                STREAM_PIECE_CAP if batch_rows > 0 else STREAM_READ_BYTES
+            )
+            if size >= threshold and cuts and cuts[-1] > 0:
+                cut_at = cuts[-1]
+                n_rec = len(cuts) - 1
+                break
             chunk = handle.read(STREAM_READ_BYTES)
             if not chunk:
                 eof = True
+                n_rec = len(cuts)
                 break
-            data += chunk
-            cut = data.rfind(b"\n>")
-            if cut >= 0:
-                carry = data[cut + 1:]
-                data = data[:cut + 1]
-                break
+            absorb(chunk)
+        if cut_at > 0:
+            # assemble the piece with ONE join ending exactly at the
+            # cut; the tail of the split part + later parts carry over
+            # unjoined (rescanned next round — carry is small)
+            k = len(parts) - 1
+            while offs[k] > cut_at:
+                k -= 1
+            local = cut_at - offs[k]
+            piece_parts = parts[:k]
+            if local:
+                piece_parts.append(parts[k][:local])
+            carry = (
+                ([parts[k][local:]] if local < len(parts[k]) else [])
+                + parts[k + 1:]
+            )
+            data = b"".join(piece_parts)
+        else:
+            data = b"".join(parts)
         if data:
-            yield data
+            yield data, n_rec
 
 
-def _parse_piece(data: bytes, width: int, want_tallies: bool) -> tuple:
+def _parse_piece(data: bytes, width: int, want_tallies: bool,
+                 n_rec: int = -1) -> tuple:
     """One dt_parse_fasta_fill pass over a piece (GIL released; safe to
     run concurrently — the C pass writes only its own out-buffers).
     Returns ("ok", n, matrix, id_offs, id_blob, tallies), or
@@ -562,14 +690,21 @@ def _parse_piece(data: bytes, width: int, want_tallies: bool) -> tuple:
     lib = get_lib()
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
     p_i64 = ctypes.POINTER(ctypes.c_int64)
-    max_records = data.count(b">")
+    # the reader already counted record starts ('>' at piece head /
+    # after '\n' — the parser's exact boundary rule); counting every
+    # '>' byte again would re-scan the whole stream
+    max_records = data.count(b">") if n_rec < 0 else n_rec
     if max_records == 0:
         return ("py", data)
     arr = np.frombuffer(data, dtype=np.uint8)
-    matrix = np.zeros((max_records, width), dtype=np.uint8)
+    # np.empty, not zeros/create_string_buffer: the parser fills every
+    # byte it reports (id/desc blobs up to their offsets, matrix rows of
+    # complete records), and zeroing three data-sized buffers per piece
+    # costs more memory traffic than the parse itself
+    matrix = np.empty((max_records, width), dtype=np.uint8)
     ids_cap = len(data) + 16
-    ids_buf = ctypes.create_string_buffer(ids_cap)
-    descs_buf = ctypes.create_string_buffer(ids_cap)
+    ids_buf = np.empty(ids_cap, dtype=np.uint8)
+    descs_buf = np.empty(ids_cap, dtype=np.uint8)
     id_offs = np.zeros(max_records + 1, dtype=np.int64)
     desc_offs = np.zeros(max_records + 1, dtype=np.int64)
     n_out = np.zeros(1, dtype=np.int64)
@@ -583,8 +718,10 @@ def _parse_piece(data: bytes, width: int, want_tallies: bool) -> tuple:
         arr.ctypes.data_as(p_u8), len(data), width, max_records,
         ENCODING.ctypes.data_as(p_u8),
         matrix.ctypes.data_as(p_u8),
-        ids_buf, ids_cap, id_offs.ctypes.data_as(p_i64),
-        descs_buf, ids_cap, desc_offs.ctypes.data_as(p_i64),
+        ids_buf.ctypes.data_as(p_u8), ids_cap,
+        id_offs.ctypes.data_as(p_i64),
+        descs_buf.ctypes.data_as(p_u8), ids_cap,
+        desc_offs.ctypes.data_as(p_i64),
         n_out.ctypes.data_as(p_i64),
         err_a.ctypes.data_as(p_i64), err_b.ctypes.data_as(p_i64),
         tallies.ctypes.data_as(p_i64) if tallies is not None else None,
@@ -592,7 +729,7 @@ def _parse_piece(data: bytes, width: int, want_tallies: bool) -> tuple:
     if rc != 0:
         return ("py", data)
     n = int(n_out[0])
-    id_blob = ctypes.string_at(ids_buf, int(id_offs[n]))
+    id_blob = ids_buf[: int(id_offs[n])].tobytes()
     return ("ok", n, matrix, id_offs, id_blob, tallies)
 
 
@@ -616,7 +753,8 @@ def _emit_piece(parsed: tuple, width: int,
 
 
 def _stream_records_native(
-    handle: BinaryIO, width: int, want_tallies: bool = False
+    handle: BinaryIO, width: int, want_tallies: bool = False,
+    batch_rows: int = 0,
 ) -> Iterator[tuple]:
     """Chunked C parse+encode of a streamed FASTA.
 
@@ -632,9 +770,9 @@ def _stream_records_native(
     (/root/reference/src/lib.rs:288-306)."""
     workers = _stream_parse_workers()
     if workers <= 1:
-        for data in _read_pieces(handle):
+        for data, n_rec in _read_pieces(handle, batch_rows):
             yield from _emit_piece(
-                _parse_piece(data, width, want_tallies), width,
+                _parse_piece(data, width, want_tallies, n_rec), width,
                 want_tallies,
             )
         return
@@ -644,10 +782,10 @@ def _stream_records_native(
     pend = collections.deque()
     ex = ThreadPoolExecutor(workers)
     try:
-        reader = _read_pieces(handle)
+        reader = _read_pieces(handle, batch_rows)
         while True:
             try:
-                data = next(reader)
+                data, n_rec = next(reader)
             except StopIteration:
                 break
             except Exception:
@@ -666,7 +804,7 @@ def _stream_records_native(
                     )
                 raise
             pend.append(
-                ex.submit(_parse_piece, data, width, want_tallies)
+                ex.submit(_parse_piece, data, width, want_tallies, n_rec)
             )
             # bounded lookahead: ~(workers + 2) pieces in flight
             while len(pend) > workers + 2:

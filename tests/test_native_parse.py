@@ -228,3 +228,109 @@ def test_native_junk_file_error_matches_python():
     for fn in (fio._load_fasta_python, fio._load_fasta_native):
         with pytest.raises(DistanceError, match="Expected '>'"):
             fn(junk)
+
+
+# ------------------------------------------------------------------ #
+# Batch-aligned reader + zero-copy batch assembly (round 5)           #
+# ------------------------------------------------------------------ #
+
+
+@needs_native
+def test_aligned_reader_piece_record_multiples(rng, monkeypatch):
+    """With batch_rows > 0 every piece (except the last) holds an exact
+    multiple of batch_rows records, cut at true record boundaries."""
+    from tests.conftest import make_fasta, random_seqs
+
+    recs = random_seqs(rng, 57, 32, amb_frac=0.1)
+    data = make_fasta(recs)
+    monkeypatch.setattr(fio, "STREAM_READ_BYTES", 256)  # several reads
+    pieces = list(fio._read_pieces(io.BytesIO(data), 10))
+    assert b"".join(p for p, _n in pieces) == data
+    for p, n in pieces[:-1]:
+        assert n % 10 == 0 and n > 0
+        assert p.startswith(b">") or p is pieces[0][0]
+        # n matches the parser's record-boundary rule exactly
+        assert n == p.count(b"\n>") + (1 if p.startswith(b">") else 0)
+    assert sum(n for _p, n in pieces) == 57
+
+
+@needs_native
+def test_aligned_reader_legacy_shape_when_unbatched(rng, monkeypatch):
+    """batch_rows=0 keeps the legacy ~STREAM_READ_BYTES byte-cut pieces
+    (the piece-semantics tests above rely on this shape)."""
+    from tests.conftest import make_fasta, random_seqs
+
+    data = make_fasta(random_seqs(rng, 40, 64))
+    monkeypatch.setattr(fio, "STREAM_READ_BYTES", 300)
+    pieces = list(fio._read_pieces(io.BytesIO(data), 0))
+    assert b"".join(p for p, _n in pieces) == data
+    assert len(pieces) > 5  # many small pieces, not one aligned slab
+
+
+@needs_native
+def test_stream_batches_are_zero_copy_views(rng, monkeypatch):
+    """Production stream batches must assemble as views of one parsed
+    piece (no per-batch copy) and stay byte-identical to the serial
+    Python assembly."""
+    from tests.conftest import make_fasta, random_seqs
+
+    recs = random_seqs(rng, 60, 48, amb_frac=0.2)
+    data = make_fasta(recs)
+    monkeypatch.setenv("DISTANCE_TPU_STREAM_PARSE_WORKERS", "2")
+    batches = list(
+        fio.stream_fasta(io.BytesIO(data), 48, "tn93", None, 12)
+    )
+    assert sum(len(b.ids) for b in batches) == 60
+    assert any(b.matrix.base is not None for b in batches)
+    monkeypatch.setenv("DISTANCE_TPU_NO_NATIVE", "1")
+    ser = list(
+        fio.stream_fasta(io.BytesIO(data), 48, "tn93", None, 12)
+    )
+    assert [b.ids for b in batches] == [b.ids for b in ser]
+    for a, b in zip(batches, ser):
+        assert np.array_equal(a.matrix, b.matrix)
+        assert np.array_equal(a.base_counts, b.base_counts)
+
+
+@needs_native
+def test_aligned_reader_error_parity_through_stream(rng, monkeypatch):
+    """Mid-stream errors through the production (batch-aligned) path
+    surface with the exact message after the exact prefix, matching the
+    pure-Python path."""
+    from tests.conftest import make_fasta, random_seqs
+
+    good = random_seqs(rng, 25, 32, amb_frac=0.1)
+    data = make_fasta(good) + b">bad\n" + b"J" * 32 + b"\n"
+
+    def drive(no_native):
+        if no_native:
+            monkeypatch.setenv("DISTANCE_TPU_NO_NATIVE", "1")
+        else:
+            monkeypatch.delenv("DISTANCE_TPU_NO_NATIVE", raising=False)
+        seen = []
+        with pytest.raises(DistanceError) as e:
+            for b in fio.stream_fasta(io.BytesIO(data), 32, "raw",
+                                      None, 7):
+                seen.extend(b.ids)
+        return seen, str(e.value)
+
+    nat = drive(False)
+    py = drive(True)
+    assert nat == py
+    assert "record 'bad'" in nat[1]
+
+
+@needs_native
+def test_assemble_rows_mixed_sources(rng):
+    """_assemble_rows: runs from a piece matrix, lone rows, and
+    non-contiguous views all assemble to the vstack result."""
+    base = rng.integers(1, 255, size=(10, 16), dtype=np.uint8)
+    rows = [base[2], base[3], base[4],          # run
+            rng.integers(1, 255, size=16, dtype=np.uint8),  # lone
+            base[9], base[1],                    # non-contiguous views
+            base[6], base[7]]                    # second run
+    out = fio._assemble_rows(rows, 16)
+    assert np.array_equal(out, np.vstack(rows))
+    # single full run returns a view, not a copy
+    v = fio._assemble_rows([base[4], base[5], base[6]], 16)
+    assert v.base is base and np.array_equal(v, base[4:7])
